@@ -1,0 +1,221 @@
+"""Classifiers: append an ``_OUTLIER`` column (0.0/1.0 for raw rows, a
+possibly-fractional estimated outlier count for cube rows).
+
+Reference semantics (what each computes; the how here is pure DataFrame):
+- PercentileClassifier   reference lib/.../classify/PercentileClassifier.java:27-44
+- PredicateClassifier    reference lib/.../classify/PredicateClassifier.java:64-103
+- MAD                    reference alexp/.../outlier/MAD.java:27-91
+- CountMeanShift         reference lib/.../classify/CountMeanShiftClassifier.java:67-96
+- ArithmeticClassifier   reference lib/.../classify/ArithmeticClassifier.java:34-72
+- PredicateCubeClassifier reference lib/.../classify/PredicateCubeClassifier.java:68-111
+- RawClassifier          reference lib/.../classify/RawClassifier.java:5-25
+
+Scale notes: cutoffs (percentiles, medians, MAD) are computed with ONE
+aggregation job and broadcast back as literals — never a driver-side row
+collect. The flag itself is a codegen'd column expression. At bench/cluster
+scale use approx=True (``percentile_approx`` is a single-pass mergeable
+sketch); tests use exact percentiles to match SQL oracles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import operator as _op
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OUTLIER_COL = "_OUTLIER"
+
+_CMP = {
+    "==": _op.eq,
+    "=": _op.eq,
+    "!=": _op.ne,
+    "<>": _op.ne,
+    "<": _op.lt,
+    ">": _op.gt,
+    "<=": _op.le,
+    ">=": _op.ge,
+}
+
+
+def _pct(col: str, q, approx: bool):
+    qs = F.array(*[F.lit(float(x)) for x in q]) if isinstance(q, (list, tuple)) else F.lit(float(q))
+    return F.percentile_approx(col, qs, 100000) if approx else F.percentile(col, qs)
+
+
+def predicate_expr(col: Column, cmp: str, value) -> Column:
+    """Boolean predicate column ``col <cmp> value`` (double or string sentinel)."""
+    try:
+        fn = _CMP[cmp]
+    except KeyError:
+        raise ValueError(f"unsupported comparator {cmp!r}")
+    return fn(col, F.lit(value))
+
+
+def predicate_classify(
+    df: DataFrame, metric: str, cmp: str, value, output_col: str = OUTLIER_COL
+) -> DataFrame:
+    """Flag rows where ``metric <cmp> value`` holds."""
+    pred = predicate_expr(F.col(metric), cmp, value)
+    return df.withColumn(output_col, F.when(pred, 1.0).otherwise(0.0))
+
+
+def percentile_classify(
+    df: DataFrame,
+    metric: str,
+    percentile: float = 0.5,
+    include_high: bool = True,
+    include_low: bool = True,
+    output_col: str = OUTLIER_COL,
+    approx: bool = False,
+) -> DataFrame:
+    """Flag values outside the [percentile, 100-percentile] band.
+
+    ``percentile`` is in percent (reference convention: 0.5 → flag the bottom
+    0.5% and top 0.5%). Cutoffs come from one agg job, broadcast as literals.
+    """
+    p = percentile / 100.0
+    row = df.agg(
+        _pct(metric, [p, 1.0 - p], approx).alias("cut"),
+    ).collect()[0]
+    low_cut, high_cut = row["cut"][0], row["cut"][1]
+    cond = F.lit(False)
+    if include_high:
+        cond = cond | (F.col(metric) > F.lit(float(high_cut)))
+    if include_low:
+        cond = cond | (F.col(metric) < F.lit(float(low_cut)))
+    return df.withColumn(output_col, F.when(cond, 1.0).otherwise(0.0))
+
+
+def mad_classify(
+    df: DataFrame,
+    metric: str,
+    threshold: float = 2.5,
+    score_col: str = "_SCORE",
+    output_col: str = OUTLIER_COL,
+    approx: bool = False,
+    consistency_constant: float = 1.4826,
+) -> DataFrame:
+    """Median/MAD robust z-score: ``|x - median| / (k * MAD)``.
+
+    Two aggregation jobs (median, then MAD of residuals), both broadcast as
+    scalars; the score/flag are codegen'd expressions. When MAD == 0 the
+    reference falls back to the mean absolute deviation about the median —
+    replicated here.
+    """
+    med = df.agg(_pct(metric, 0.5, approx).alias("m")).collect()[0]["m"]
+    resid = F.abs(F.col(metric) - F.lit(float(med)))
+    row = (
+        df.select(resid.alias("r"))
+        .agg(_pct("r", 0.5, approx).alias("mad"), F.avg("r").alias("meanad"))
+        .collect()[0]
+    )
+    mad, meanad = row["mad"], row["meanad"]
+    if mad and mad > 0:
+        scale = consistency_constant * mad
+    else:
+        scale = 1.253314 * meanad if meanad else 1.0
+    score = resid / F.lit(float(scale))
+    out = df.withColumn(score_col, score)
+    return out.withColumn(output_col, F.when(F.col(score_col) > threshold, 1.0).otherwise(0.0))
+
+
+def count_mean_shift_classify(
+    df: DataFrame, metric: str, predicate: Column
+) -> DataFrame:
+    """Split rows by ``predicate`` and emit the 4 mean-shift accumulator
+    columns the mean-shift summarizer consumes."""
+    is_out = predicate.cast("double")
+    m = F.col(metric)
+    return (
+        df.withColumn("_OUTLIERCOUNT", is_out)
+        .withColumn("_INLIERCOUNT", 1.0 - is_out)
+        .withColumn("_OUTLIERMEANSUM", F.when(is_out == 1.0, m).otherwise(0.0))
+        .withColumn("_INLIERMEANSUM", F.when(is_out == 0.0, m).otherwise(0.0))
+    )
+
+
+def arithmetic_cube_classify(
+    df: DataFrame,
+    count_col: str = "count",
+    mean_col: str = "mean",
+    std_col: str = "std",
+    percentile: float = 1.0,
+    include_high: bool = True,
+    include_low: bool = True,
+    output_col: str = OUTLIER_COL,
+) -> DataFrame:
+    """Cube classifier: weighted-percentile cutoffs over group means, then a
+    per-group estimated outlier count = Normal(mean, std) tail mass × count.
+
+    The weighted percentile is computed distributively: sort groups by mean,
+    cumulative-sum the counts with a window, pick the value where the
+    cumulative weight crosses p — equivalent to the reference's
+    WeightedPercentile (lib/.../stats/WeightedPercentile.java:11-56) without
+    materializing repeated values.
+    """
+    from pyspark.sql import Window
+
+    total = df.agg(F.sum(count_col).alias("n")).collect()[0]["n"]
+    w = Window.orderBy(mean_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = df.select(mean_col, count_col).withColumn("_cw", F.sum(count_col).over(w))
+    p = percentile / 100.0
+
+    def cutoff(frac: float) -> float:
+        r = cum.filter(F.col("_cw") >= frac * total).orderBy(mean_col).limit(1).collect()
+        return float(r[0][mean_col])
+
+    low_cut = cutoff(p)
+    high_cut = cutoff(1.0 - p)
+
+    mean, std, cnt = F.col(mean_col), F.col(std_col), F.col(count_col)
+    # Normal CDF via erf — exact, JVM-side (reference interpolates a lookup
+    # table; erf is strictly more accurate).
+    def cdf(x):
+        z = (x - mean) / F.when(std > 0, std).otherwise(F.lit(1e-300))
+        return 0.5 * (1.0 + _erf(z / F.lit(2.0**0.5)))
+
+    frac = F.lit(0.0)
+    if include_high:
+        frac = frac + (1.0 - cdf(F.lit(high_cut)))
+    if include_low:
+        frac = frac + cdf(F.lit(low_cut))
+    frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    return df.withColumn(output_col, frac * cnt)
+
+
+def _erf(z: Column) -> Column:
+    """Abramowitz–Stegun 7.1.26 rational approximation of erf (|err|<1.5e-7),
+    as a pure column expression (Spark lacks a built-in erf)."""
+    sign = F.when(z < 0, -1.0).otherwise(1.0)
+    x = F.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * F.exp(-x * x))
+
+
+def predicate_cube_classify(
+    df: DataFrame, metric: str, cmp: str, value, count_col: str = "count",
+    output_col: str = OUTLIER_COL,
+) -> DataFrame:
+    """Group matches predicate → all of its count are outliers, else 0."""
+    pred = predicate_expr(F.col(metric), cmp, value)
+    return df.withColumn(output_col, F.when(pred, F.col(count_col).cast("double")).otherwise(0.0))
+
+
+def raw_classify(df: DataFrame, outlier_col: str, output_col: str = OUTLIER_COL) -> DataFrame:
+    """Pass-through: the outlier count column already exists."""
+    if outlier_col == output_col:
+        return df
+    return df.withColumn(output_col, F.col(outlier_col).cast("double"))
+
+
+def min_max_normalize(df: DataFrame, col: str, output_col: str | None = None) -> DataFrame:
+    """(x - min) / (max - min); one agg job, broadcast scalars."""
+    row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    lo, hi = float(row["lo"]), float(row["hi"])
+    span = (hi - lo) or 1.0
+    return df.withColumn(output_col or col, (F.col(col) - F.lit(lo)) / F.lit(span))
