@@ -1,0 +1,100 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced with a count() (results stay distributed; nothing
+row-level is collected). The clips_validation_suite entry is the
+north-rule throughput job (validated clips/sec appears in the JSON as
+clips_per_sec). Scaling (N vs 4N cores) is measured separately by
+bench_scaling.py, which reports efficiency into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_by_segment",
+    "top_orders_per_customer",
+    "column_stats",
+    "uniqueness_violations",
+    "ref_unreferenced_parts",
+    "percentile_classify_events",
+    "mad_classify_events",
+    "explain_risk_ratio_events",
+    "explain_global_ratio_orders",
+    "mean_shift_explain",
+    "window_tumbling_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "embedding_cosine_dup",
+    "text_quality",
+    "doc_fingerprint",
+    "clips_validation_suite",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from macrobase_spark import queries as Q
+    import macrobase_spark.operators.clips_suite  # noqa: F401
+    import macrobase_spark.operators.dedup  # noqa: F401
+    import macrobase_spark.operators.similarity  # noqa: F401
+    import macrobase_spark.operators.text  # noqa: F401
+    from macrobase_spark.session import get_spark
+
+    spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # JVM/codegen warmup so per-query times measure the plan, not startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name == "clips_validation_suite":
+            from macrobase_spark.operators.clips_suite import clips_n
+
+            extra["clips_per_sec"] = round(clips_n(sf_dir) / dt, 1)
+            extra["clips_n"] = clips_n(sf_dir)
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-clock (classify/explain/validate/dedup/ann)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extra,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""Registered queries over the synthetic clips table (rows-only driver
+checks: the clips table is synthesized, so DuckDB has no view of it; their
+correctness gate is tests/test_clips.py's exact planted-violation recovery).
+
+The clip count scales with the sf encoded in sf_dir (sf0.01 → 10k clips),
+so the same entries serve the correctness run and the bench run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from macrobase_spark.operators.checks import SuiteConfig, run_suite
+from macrobase_spark.queries import register
+from macrobase_spark.sources.clips import generate_clips, generate_manifest
+
+
+def clips_n(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    return max(int(sf * 1_000_000), 1000)
+
+
+@register("clips_validation_suite")  # rows-only
+def clips_validation_suite_q(spark, sf_dir):
+    """Full check suite; returns the violation rows (the engine's primary
+    output relation)."""
+    n = clips_n(sf_dir)
+    clips = generate_clips(spark, n)
+    manifest = generate_manifest(spark, n)
+    res = run_suite(clips, manifest, SuiteConfig())
+    return res.violations
+
+
+@register("clips_partition_verdicts")  # rows-only
+def clips_partition_verdicts_q(spark, sf_dir):
+    n = clips_n(sf_dir)
+    res = run_suite(generate_clips(spark, n), generate_manifest(spark, n), SuiteConfig())
+    return res.verdicts
+
+
+@register("clips_snr_stats")  # rows-only
+def clips_snr_stats_q(spark, sf_dir):
+    """Decoded-PCM SNR distribution per codec (vectorized pandas UDF path)."""
+    from macrobase_spark.operators.audio import snr_check
+
+    n = clips_n(sf_dir)
+    clips = generate_clips(spark, n)
+    scored = snr_check(clips, 30.0).join(clips.select("clip_id", "codec"), "clip_id")
+    return scored.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.sum(F.col("snr_pass").cast("long")).alias("n_snr_pass"),
+        F.round(F.avg(F.when(F.col("snr_pass"), F.col("snr_db"))), 2).alias("avg_snr_db"),
+    )
+
+
+@register("clips_explain_violations")  # rows-only
+def clips_explain_violations_q(spark, sf_dir):
+    """Risk-ratio attribute explanation of violation rows over
+    (codec, sr_hz) — MacroBase classify-then-explain on the audio table."""
+    n = clips_n(sf_dir)
+    res = run_suite(generate_clips(spark, n), generate_manifest(spark, n), SuiteConfig())
+    return res.explanation
+
+
+@register("clips_column_stats")  # rows-only
+def clips_column_stats_q(spark, sf_dir):
+    n = clips_n(sf_dir)
+    res = run_suite(generate_clips(spark, n), generate_manifest(spark, n), SuiteConfig())
+    return res.column_stats

@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each Spark-first:
+
+- exact: hash group-by on the content (or md5 of it) — one shuffle, partial
+  agg absorbs hot values.
+- n-gram Jaccard: inverted-index self-join on shingles (never O(n²) rows);
+  per-doc shingle sets are built with pure array expressions, zero Python.
+- MinHash + LSH: per-row signature (array expressions over md5 — no shuffle
+  at all), band keys, then ONE group-by on (band, key) to find candidates.
+  This is the 100 TB path: cost is O(n · bands), not O(n²).
+- SimHash: 64-bit signature from xxhash64 token hashes (per-row expression),
+  16-bit bands for hamming-neighbor candidates.
+- embedding cosine near-dup: see macrobase_spark.operators.similarity.
+
+The md5-based MinHash is deliberately engine-portable (identical hex in
+Spark and DuckDB) so the oracle can verify the *exact* candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from macrobase_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingles") -> DataFrame:
+    """Word n-gram set per row, as a pure array expression (0-based Spark
+    subscripts), distinct."""
+    return df.withColumn("_w", F.split(F.col(text_col), " ")).withColumn(
+        out,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, greatest(size(_w) - {n}, -1)), "
+                f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+            )
+        ),
+    ).drop("_w")
+
+
+def minhash_signature(shingles: str, num_hashes: int) -> list:
+    """MinHash signature columns: min over shingles of md5(shingle # seed).
+
+    Hex-string min is a valid hash-min (uniform over the hex space); md5 is
+    byte-identical across engines, which makes the LSH candidate set
+    oracle-verifiable."""
+    return [
+        F.array_min(F.expr(f"transform({shingles}, s -> md5(concat(s, '#', '{j}')))")).alias(
+            f"mh{j}"
+        )
+        for j in range(num_hashes)
+    ]
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Groups appearing more than once; emits the group + multiplicity."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold, via an inverted
+    index: explode shingles, self-join on the shingle (only docs sharing a
+    shingle ever meet), count the intersection, derive the union from the
+    per-doc set sizes."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    e = sh.select(
+        F.col(id_col).alias("doc"), F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.sz").alias("sa"),
+            F.first("b.sz").alias("sb"),
+        )
+    )
+    j = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+    return inter.filter(j >= threshold).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 6,
+    bands: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the MinHash signature.
+
+    Per-row work is pure expressions; the only shuffle is the group-by on
+    (band, key). Buckets are exploded into pairs inside the aggregation —
+    bucket sizes are bounded in practice; a runaway bucket means the band
+    width is too narrow for the corpus and should be raised."""
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    sig = sh.select(F.col(id_col).alias("doc"), *minhash_signature("shingles", num_hashes))
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)])
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    exploded = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk"))
+    buckets = exploded.groupBy("bk").agg(F.collect_list("doc").alias("docs")).filter(
+        F.size("docs") > 1
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(array_sort(docs), (x, i) -> "
+                "transform(slice(array_sort(docs), i + 2, size(docs)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def simhash_signature(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
+    """64-bit SimHash per row, entirely as column expressions: token hashes
+    via xxhash64, per-bit majority vote, bits reassembled into one long.
+    No shuffle, no Python."""
+    return (
+        df.withColumn("_w", F.split(F.col(text_col), " "))
+        .withColumn("_h", F.expr("transform(_w, w -> xxhash64(w))"))
+        .withColumn(
+            out,
+            F.expr(
+                "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + "
+                "IF(aggregate(_h, 0L, (v, h) -> v + IF(shiftright(h, i) & 1 = 1, 1, -1)) > 0, "
+                "shiftleft(1L, i), 0L))"
+            ),
+        )
+        .drop("_w", "_h")
+    )
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit band of the SimHash
+    (catches all pairs with hamming distance <= 3)."""
+    sig = simhash_signature(df.select(id_col, text_col), text_col)
+    bands = sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))"
+            )
+        ).alias("bk"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries (driver-verified)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS dup_count
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text_hash", F.md5("text")
+    )
+    return exact_dedup(d, ["text_hash"])
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) sh FROM w),
+    e AS (SELECT doc_id, len(sh) sz, unnest(sh) s FROM d),
+    p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter,
+                 any_value(a.sz) sa, any_value(b.sz) sb
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(inter / (sa + sb - inter), 6) AS jaccard
+    FROM p WHERE inter / (sa + sb - inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) sh FROM w),
+    mh AS (SELECT doc_id,
+        list_min(list_transform(sh, s -> md5(s || '#' || '0'))) m0,
+        list_min(list_transform(sh, s -> md5(s || '#' || '1'))) m1,
+        list_min(list_transform(sh, s -> md5(s || '#' || '2'))) m2,
+        list_min(list_transform(sh, s -> md5(s || '#' || '3'))) m3,
+        list_min(list_transform(sh, s -> md5(s || '#' || '4'))) m4,
+        list_min(list_transform(sh, s -> md5(s || '#' || '5'))) m5
+      FROM d),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || m1 || m2) AS key FROM mh
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(m3 || m4 || m5) AS key FROM mh)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_q(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6, bands=2)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 is not portable to DuckDB
+def dedup_simhash_q(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_candidates(d, "doc_id", "text")

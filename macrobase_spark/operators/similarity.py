@@ -1,0 +1,266 @@
+"""Similarity search over embedding columns (array<float>).
+
+Physical design: all-pairs / query-vs-corpus cosine is dense linear algebra,
+so it runs as *blocked matrix multiplies* inside Arrow-batched pandas UDFs —
+numpy GEMM per block pair — never per-pair expressions (Spark's higher-order
+array lambdas are interpreted, ~100× slower than BLAS) and never per-row
+Python.
+
+- brute-force top-k: the query matrix is tiny → broadcast it, one map pass
+  over the corpus computes corpus-block × queryᵀ, per-partition top-k is
+  reduced to a global top-k. Map-only: no shuffle of the corpus.
+- near-dup pairs: corpus grouped into ~nb blocks → nb(nb+1)/2 block-pair
+  GEMM tasks (O(n²/B²) tasks, each dense). This is the exact path; the LSH
+  (random-hyperplane) variant bounds candidates for corpus-scale dedup.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from macrobase_spark.queries import register
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector. The query matrix is
+    collected (it is small by contract) and closed over — each corpus
+    partition does ONE GEMM against it; global top-k via window rank over
+    the per-partition candidates."""
+    from pyspark.sql import Window
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows])
+    q_mat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("nbr_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = _normalize(_as_matrix(pdf[vec_col]))
+            sims = m @ q_mat.T  # (rows, queries)
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                keep = min(k + 1, len(col))
+                top = np.argpartition(-col, keep - 1)[:keep]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids[qi], len(top)),
+                        "nbr_id": ids[top],
+                        "cos": col[top],
+                    }
+                )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        cand.filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "rnk", F.round("cos", 6).alias("cos"))
+    )
+
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cos", DoubleType()),
+    ]
+)
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, via blocked GEMM: rows hash into
+    nb blocks, blocks are collected into (block, ids, matrix) rows, the
+    nb(nb+1)/2 block pairs each run one numpy matmul and emit only pairs
+    above threshold."""
+    n = df.count()
+    nb = max(1, math.ceil(n / block_rows))
+    v = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+    blocks = v.groupBy("blk").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("v").alias("vecs")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    joined = a.join(b, F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"),
+        F.col("a.ids").alias("ids_a"),
+        F.col("a.vecs").alias("vecs_a"),
+        F.col("b.blk").alias("blk_b"),
+        F.col("b.ids").alias("ids_b"),
+        F.col("b.vecs").alias("vecs_b"),
+    )
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples():
+                ids_a = np.asarray(row.ids_a)
+                ids_b = np.asarray(row.ids_b)
+                ma = _normalize(np.stack([np.asarray(x, dtype=np.float64) for x in row.vecs_a]))
+                mb = _normalize(np.stack([np.asarray(x, dtype=np.float64) for x in row.vecs_b]))
+                sims = ma @ mb.T
+                ia, ib = np.where(sims >= threshold)
+                if row.blk_a == row.blk_b:
+                    keep = ids_a[ia] < ids_b[ib]
+                    ia, ib = ia[keep], ib[keep]
+                lo = np.minimum(ids_a[ia], ids_b[ib])
+                hi = np.maximum(ids_a[ia], ids_b[ib])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[ia, ib]})
+
+    pairs = joined.mapInPandas(gemm, _PAIR_SCHEMA)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes — a pure function of indices,
+    identical on every executor/run."""
+    p, d = np.meshgrid(np.arange(n_planes), np.arange(dim), indexing="ij")
+    x = (1103515245 * (p * 1009 + d * 9176 + seed) + 12345) % (2**31)
+    return np.cos(x.astype(np.float64))
+
+
+def lsh_cosine_candidates(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int = 8,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign-bit sketch per vector (one small GEMM per
+    Arrow batch), bucket on the sketch, exact cosine within buckets only."""
+    planes = _hyperplanes(dim, n_planes)
+
+    sk_schema = StructType(
+        [StructField("id", LongType()), StructField("bucket", IntegerType())]
+    )
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(n_planes)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            bits = (m @ planes.T) > 0
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "bucket": (bits @ weights).astype(np.int32)}
+            )
+
+    buckets = df.select(id_col, vec_col).mapInPandas(sketch, sk_schema)
+    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        buckets, "id"
+    )
+    blocks = tagged.groupBy("bucket").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("v").alias("vecs")
+    )
+
+    def within(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples():
+                if len(row.ids) < 2:
+                    continue
+                ids = np.asarray(row.ids)
+                m = _normalize(np.stack([np.asarray(x, dtype=np.float64) for x in row.vecs]))
+                sims = m @ m.T
+                ia, ib = np.where(sims >= threshold)
+                keep = ids[ia] < ids[ib]
+                ia, ib = ia[keep], ib[keep]
+                yield pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos": sims[ia, ib]})
+
+    return blocks.mapInPandas(within, _PAIR_SCHEMA).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+)
+_NORM_A = "sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(a.embedding, x -> CAST(x AS DOUBLE))))"
+_NORM_B = "sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))))"
+
+
+@register(
+    "ann_brute_force_topk",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+             {_DOT} / ({_NORM_A} * {_NORM_B}) AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 3),
+    ranked AS (
+      SELECT query_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, nbr_id) AS rnk
+      FROM scored)
+    SELECT query_id, nbr_id, rnk, round(cos, 6) AS cos
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_brute_force_topk_q(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
+
+
+@register(
+    "embedding_cosine_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT} / ({_NORM_A} * {_NORM_B}) >= 0.35
+    """,
+)
+def embedding_cosine_dup_q(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
+
+
+@register("ann_lsh_candidates")  # rows-only: bucketing is engine-local
+def ann_lsh_candidates_q(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    return lsh_cosine_candidates(e, "vec_id", "embedding", dim=dim, n_planes=8)

@@ -1,0 +1,96 @@
+"""Clips fixture + check suite: exact planted-violation recovery,
+partition-stability (determinism), SNR invariant, manifest resume."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.operators.audio import decode_wav, render_reference, snr_db, snr_check
+from macrobase_spark.operators.checks import SuiteConfig, run_suite
+from macrobase_spark.plans.manifest import RunManifest
+from macrobase_spark.sources.clips import (
+    expected_violations,
+    generate_clips,
+    generate_manifest,
+)
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def suite(spark):
+    clips = generate_clips(spark, N)
+    manifest = generate_manifest(spark, N)
+    return run_suite(clips, manifest, SuiteConfig())
+
+
+def test_planted_violations_exact(spark, suite):
+    got = {
+        (r["clip_id"], r["check"])
+        for r in suite.violations.filter(F.col("check") != "drift").collect()
+    }
+    exp = {(r.clip_id, r.check) for r in expected_violations(N).itertuples()}
+    assert got == exp
+
+
+def test_drift_detected(suite):
+    drift = suite.violations.filter(F.col("check") == "drift").collect()
+    assert len(drift) > 0
+    assert all("aac" in r["detail"] for r in drift)
+
+
+def test_partition_stability(spark):
+    """Same content at any parallelism — the property the scaling run needs."""
+    a = generate_clips(spark, 500, partitions=2)
+    b = generate_clips(spark, 500, partitions=7)
+    ha = a.select(F.md5(F.concat_ws("|", "clip_id", F.base64("bytes"), "sr_hz", "dur_ms", "codec", F.coalesce("transcript", F.lit("\x00"))))
+                  .alias("h")).agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))).collect()[0][0]
+    hb = b.select(F.md5(F.concat_ws("|", "clip_id", F.base64("bytes"), "sr_hz", "dur_ms", "codec", F.coalesce("transcript", F.lit("\x00"))))
+                  .alias("h")).agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))).collect()[0][0]
+    assert ha == hb
+
+
+def test_snr_invariant_clean_clips(spark):
+    """North-star per-row invariant: decoded PCM vs reference render has
+    SNR >= 30 dB for every uncorrupted clip."""
+    clips = generate_clips(spark, 1200)
+    scored = snr_check(clips, 30.0).collect()
+    for r in scored:
+        idx = int(r["clip_id"].split("_")[1])
+        corrupted = idx % 401 == 5 or idx % 601 == 9
+        if corrupted:
+            assert not r["snr_pass"], r
+        else:
+            assert r["snr_pass"] and r["snr_db"] >= 30.0, r
+
+
+def test_wav_roundtrip_allclose():
+    from macrobase_spark.sources.clips import _payload
+
+    b = _payload(42, 16000, 5000, 200)
+    sr, pcm = decode_wav(b)
+    assert sr == 16000
+    ref = render_reference(42, sr, len(pcm))
+    assert snr_db(ref, pcm) >= 30.0
+    assert np.allclose(ref, pcm, atol=0.02)
+
+
+def test_manifest_resume(spark, tmp_path, suite):
+    mpath = str(tmp_path / "manifest")
+    m = RunManifest(mpath)
+    verdicts = suite.verdicts.collect()
+    parts = sorted({r["codec"] for r in verdicts})
+    # record all but one partition as completed
+    rows = [
+        {"partition": p, "n_rows": 1, "n_violations": 0, "passed": True}
+        for p in parts[:-1]
+    ]
+    m.record(spark, rows, lineage="clips@n=3000")
+    pending = m.pending(spark, parts)
+    assert pending == [parts[-1]]
+    # completing the rest empties the queue
+    m.record(spark, [{"partition": parts[-1], "n_rows": 1, "n_violations": 2, "passed": False}])
+    assert m.pending(spark, parts) == []
+    mdf = m.read(spark)
+    assert mdf.count() == len(parts)
+    assert mdf.filter(~F.col("passed")).count() == 1

@@ -1,0 +1,27 @@
+"""Run every registered query against its DuckDB oracle at sf0.01 —
+a local replica of the driver's correctness gate."""
+
+import os
+
+import pytest
+
+from macrobase_spark import queries as Q
+import macrobase_spark.operators.dedup  # noqa: F401  (registers queries)
+import macrobase_spark.operators.similarity  # noqa: F401
+import macrobase_spark.operators.text  # noqa: F401
+from tests.oracle_util import compare, duck_con
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duck_con(SF)
+
+
+@pytest.mark.parametrize("name", sorted(Q.ORACLES))
+def test_oracle_parity(spark, con, name):
+    sdf = Q.QUERIES[name](spark, SF)
+    odf = con.execute(Q.ORACLES[name]).df()
+    errs = compare(sdf, odf, name)
+    assert not errs, "\n".join(errs)
