@@ -61,6 +61,13 @@ def main() -> int:
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     # JVM/codegen warmup so per-query times measure the plan, not startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python-worker warmup: fork the Arrow workers + import numpy/pandas once
+    # per core so pandas-UDF queries measure compute, not interpreter startup
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, cpus * 2, numPartitions=cpus * 2).mapInPandas(_ident, "id long").count()
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}

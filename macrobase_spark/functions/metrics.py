@@ -91,6 +91,27 @@ def ratio_metric_expr(
     return fn(outlier_count, total_count, total_outliers, total_rows)
 
 
+def ratio_metric_py(name: str, a: float, m: float, o: float, n: float) -> float:
+    """Driver-side rendering of the same metric, for computing final
+    explanation rows from collected survivor aggregates. MUST stay
+    edge-case-identical to the column expressions above."""
+    if name == "support":
+        return a / o
+    if name == "global_ratio":
+        return (a / m) / (o / n)
+    if name == "risk_ratio":
+        if m == 0 or n - m == 0:
+            return 0.0
+        if o - a == 0:
+            return INF
+        return (a / m) / ((o - a) / (n - m))
+    if name == "prevalence_ratio":
+        o_s = o if o != 0.0 else 1.0
+        m_s = m + 1.0 if m == a else m
+        return (a / (m_s - a)) / (o_s / (n - o_s))
+    raise ValueError(f"unknown ratio metric {name!r}")
+
+
 def ratio_metric_sql(name: str, a: str, m: str, o: str, n: str) -> str:
     """ANSI-SQL rendering of the same metric (for DuckDB oracles).
 

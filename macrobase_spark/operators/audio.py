@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -128,6 +130,77 @@ SNR_SCHEMA = StructType(
         StructField("sr_match", BooleanType()),
     ]
 )
+
+# narrow scored relation: everything the downstream checks need, NO payload.
+# One scan of the heavy table produces this; at 100 TB it is the only pass
+# that ever touches `bytes`.
+SCORED_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("dur_ms", IntegerType()),
+        StructField("codec", StringType()),
+        StructField("transcript_null", BooleanType()),
+        StructField("transcript_empty", BooleanType()),
+        StructField("payload_bytes", LongType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("snr_db", DoubleType()),
+        StructField("sr_match", BooleanType()),
+    ]
+)
+
+
+def score_clips(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
+    """ONE Arrow-batched pass over the full clips table that emits the narrow
+    scored relation every downstream check consumes: scalar passthrough +
+    transcript flags + payload size + decode/SNR verdicts.
+
+    This is the engine's scan discipline at 10^12-row scale: the `bytes`
+    column is read exactly once, everything after operates on ~60 bytes/row.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            idx = (
+                pd.to_numeric(pdf["clip_id"].str.slice(5, 17), errors="coerce")
+                .fillna(-1)
+                .astype(np.int64)
+                .to_numpy()
+            )
+            srs = pdf["sr_hz"].to_numpy()
+            out_ok = np.zeros(n, dtype=bool)
+            out_snr = np.full(n, -np.inf)
+            out_srm = np.zeros(n, dtype=bool)
+            plen = np.zeros(n, dtype=np.int64)
+            for i, b in enumerate(pdf["bytes"]):
+                plen[i] = 0 if b is None else len(b)
+                dec = decode_wav(b)
+                if dec is None:
+                    continue
+                sr, pcm = dec
+                out_ok[i] = True
+                out_srm[i] = sr == srs[i]
+                ref = render_reference(int(idx[i]), int(sr), len(pcm))
+                out_snr[i] = snr_db(ref, pcm)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "sr_hz": pdf["sr_hz"],
+                    "dur_ms": pdf["dur_ms"],
+                    "codec": pdf["codec"],
+                    "transcript_null": pdf["transcript"].isna(),
+                    "transcript_empty": pdf["transcript"].fillna("x").eq(""),
+                    "payload_bytes": plen,
+                    "decode_ok": out_ok,
+                    "snr_db": out_snr,
+                    "sr_match": out_srm,
+                }
+            )
+
+    return df.mapInPandas(run, SCORED_SCHEMA).withColumn(
+        "snr_pass", F.col("decode_ok") & (F.col("snr_db") >= F.lit(min_snr_db))
+    )
 
 
 def snr_check(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:

@@ -5,16 +5,22 @@ rows (clip_id, check, detail) plus per-partition metrics, and the suite
 finishes with a MacroBase risk-ratio explanation of WHICH attribute
 combinations are over-represented among violations.
 
-Scale shapes:
+Scan discipline (the property that makes this work at 10^12 rows):
+the heavy table — `bytes` payloads dominate its width — is scanned EXACTLY
+ONCE, by `score_clips` (operators.audio): one Arrow-batched pass that decodes
+PCM, scores SNR, and projects every scalar the checks need into a ~60-byte
+row. That narrow scored relation is persisted; every check below is an
+aggregation/join over it:
+
 - uniqueness: ONE hash aggregation on the key. Spark's partial aggregation
   is the two-phase (salted) aggregate — hot keys collapse map-side.
-- referential: fact LEFT ANTI broadcast(dim-keys); AQE skew-join handles a
+- referential: scored LEFT ANTI broadcast(dim-keys); AQE skew-join handles a
   skewed fk. The fact table is never shuffled.
 - drift: two-level aggregation (rows → group stats → MAD over group medians);
   only group-level rows ever leave the executors.
-- SNR: Arrow-batched mapInPandas (see operators.audio) — the only Python.
 - verdicts: per-partition rollup of violations; the driver sees one row per
   (partition, check).
+- explanation: APriori risk-ratio rounds over the narrow cache.
 """
 
 from __future__ import annotations
@@ -25,8 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from macrobase_spark.operators.audio import snr_check
-from macrobase_spark.operators.classify import mad_classify
+from macrobase_spark.operators.audio import score_clips
 from macrobase_spark.operators.explain import ExplainParams, explain
 
 VIOLATION_COLS = ["clip_id", "check", "detail"]
@@ -55,33 +60,33 @@ class SuiteResult:
     verdicts: DataFrame  # (partition, check, n_violations, n_rows, passed)
     explanation: DataFrame  # risk-ratio violation-row explanations
     column_stats: DataFrame
+    scored: DataFrame  # the narrow one-scan relation (persisted)
 
 
-def uniqueness_check(clips: DataFrame) -> DataFrame:
+def uniqueness_check(scored: DataFrame) -> DataFrame:
     dups = (
-        clips.groupBy("clip_id")
+        scored.groupBy("clip_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
     return _v(dups, "uniqueness", F.concat(F.lit("duplicate x"), F.col("n")))
 
 
-def null_checks(clips: DataFrame) -> DataFrame:
-    nulls = _v(clips.filter(F.col("transcript").isNull()), "null_transcript", "transcript is null")
+def null_checks(scored: DataFrame) -> DataFrame:
+    nulls = _v(scored.filter(F.col("transcript_null")), "null_transcript", "transcript is null")
     empties = _v(
-        clips.filter(F.col("transcript") == ""), "empty_transcript", "transcript is empty"
+        scored.filter(F.col("transcript_empty")), "empty_transcript", "transcript is empty"
     )
     return nulls.unionByName(empties)
 
 
-def ref_integrity_check(clips: DataFrame, manifest: DataFrame) -> DataFrame:
+def ref_integrity_check(scored: DataFrame, manifest: DataFrame) -> DataFrame:
     keys = manifest.select("clip_id").distinct()
-    orphans = clips.join(F.broadcast(keys), "clip_id", "left_anti")
+    orphans = scored.join(F.broadcast(keys), "clip_id", "left_anti")
     return _v(orphans, "ref_integrity", "missing from manifest")
 
 
-def snr_violations(clips: DataFrame, min_snr_db: float) -> DataFrame:
-    scored = snr_check(clips, min_snr_db)
+def snr_violations(scored: DataFrame) -> DataFrame:
     bad = scored.filter(~F.col("snr_pass"))
     return _v(
         bad,
@@ -93,39 +98,57 @@ def snr_violations(clips: DataFrame, min_snr_db: float) -> DataFrame:
 
 
 def drift_check(
-    clips: DataFrame, metric: str, partition_cols: list[str], mad_threshold: float
+    scored: DataFrame, metric: str, partition_cols: list[str], mad_threshold: float
 ) -> DataFrame:
     """Distribution drift: per-group median of `metric`, then a MAD robust
     z-score ACROSS groups (reference MAD semantics applied at the group
     grain, cf. alexp/.../outlier/MAD.java:27-91 + MetricBucketTransformer).
-    Emits one violation row per drifted group (clip_id = NULL)."""
-    groups = clips.groupBy(*partition_cols).agg(
-        F.percentile_approx(metric, 0.5, 10000).alias("med"),
-        F.count(F.lit(1)).alias("n"),
+    Emits one violation row per drifted group (clip_id = NULL).
+
+    ONE Spark job computes the per-group medians (mergeable sketch); the MAD
+    across groups runs on the driver — the group table is bounded by the
+    attribute-combination cardinality, never by row count.
+    """
+    import numpy as np
+
+    rows = (
+        scored.groupBy(*partition_cols)
+        .agg(
+            F.percentile_approx(metric, 0.5, 10000).alias("med"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
     )
-    flagged = mad_classify(groups, "med", threshold=mad_threshold)
-    bad = flagged.filter(F.col("_OUTLIER") == 1.0)
-    return bad.select(
-        F.lit(None).cast("string").alias("clip_id"),
-        F.lit("drift").alias("check"),
-        F.concat_ws(
-            "",
-            F.lit(f"drifted {metric} in ("),
-            F.concat_ws(",", *[F.col(c).cast("string") for c in partition_cols]),
-            F.lit("): med="),
-            F.round("med", 1).cast("string"),
-            F.lit(" score="),
-            F.round("_SCORE", 2).cast("string"),
-        ).alias("detail"),
-    )
+    spark = scored.sparkSession
+    schema = "clip_id string, check string, detail string"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    meds = np.array([float(r["med"]) for r in rows])
+    median = float(np.percentile(meds, 50))
+    resid = np.abs(meds - median)
+    mad = float(np.percentile(resid, 50))
+    scale = 1.4826 * mad if mad > 0 else (1.253314 * resid.mean() if resid.mean() else 1.0)
+    scores = resid / scale
+    out = [
+        (
+            None,
+            "drift",
+            f"drifted {metric} in ("
+            + ",".join(str(r[c]) for c in partition_cols)
+            + f"): med={round(float(r['med']), 1)} score={round(float(s), 2)}",
+        )
+        for r, s in zip(rows, scores)
+        if s > mad_threshold
+    ]
+    return spark.createDataFrame(out, schema)
 
 
-def column_stats(clips: DataFrame, partition_col: str) -> DataFrame:
+def column_stats(scored: DataFrame, partition_col: str) -> DataFrame:
     """One-pass per-partition profile; quantiles via the mergeable
     percentile_approx sketch (cluster-safe)."""
-    return clips.groupBy(partition_col).agg(
+    return scored.groupBy(partition_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg(F.col("transcript").isNull().cast("double")), 6).alias(
+        F.round(F.avg(F.col("transcript_null").cast("double")), 6).alias(
             "transcript_null_rate"
         ),
         F.min("dur_ms").alias("min_dur_ms"),
@@ -134,7 +157,7 @@ def column_stats(clips: DataFrame, partition_col: str) -> DataFrame:
             "dur_ms_p50_p95"
         ),
         F.countDistinct("sr_hz").alias("n_sr_values"),
-        F.round(F.avg(F.length("bytes")), 2).alias("avg_payload_bytes"),
+        F.round(F.avg("payload_bytes"), 2).alias("avg_payload_bytes"),
     )
 
 
@@ -142,27 +165,31 @@ def run_suite(
     clips: DataFrame, manifest: DataFrame, cfg: SuiteConfig | None = None
 ) -> SuiteResult:
     cfg = cfg or SuiteConfig()
-    clips = clips.persist(StorageLevel.MEMORY_AND_DISK)
+    # THE scan: bytes are read once, decode+SNR happen here, and only the
+    # narrow scored projection is cached for the rest of the suite.
+    scored = score_clips(clips, cfg.min_snr_db).persist(StorageLevel.MEMORY_AND_DISK)
 
     violations = (
-        uniqueness_check(clips)
-        .unionByName(null_checks(clips))
-        .unionByName(ref_integrity_check(clips, manifest))
-        .unionByName(snr_violations(clips, cfg.min_snr_db))
-        .unionByName(drift_check(clips, "dur_ms", [cfg.partition_col, "sr_hz"], cfg.drift_mad_threshold))
+        uniqueness_check(scored)
+        .unionByName(null_checks(scored))
+        .unionByName(ref_integrity_check(scored, manifest))
+        .unionByName(snr_violations(scored))
+        .unionByName(
+            drift_check(scored, "dur_ms", [cfg.partition_col, "sr_hz"], cfg.drift_mad_threshold)
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # per-partition verdicts: attribute row-level violations back to their
-    # partition via the clip rows (broadcast the violation keys)
+    # partition via the scored rows (broadcast the violation keys)
     row_viol = violations.filter(F.col("clip_id").isNotNull())
     per_part = (
-        clips.select("clip_id", cfg.partition_col)
+        scored.select("clip_id", cfg.partition_col)
         .join(row_viol, "clip_id")
         .groupBy(cfg.partition_col, "check")
         .agg(F.count(F.lit(1)).alias("n_violations"))
     )
-    part_sizes = clips.groupBy(cfg.partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    part_sizes = scored.groupBy(cfg.partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
     verdicts = (
         part_sizes.join(per_part, cfg.partition_col, "left")
         .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
@@ -170,7 +197,7 @@ def run_suite(
     )
 
     # classify-then-explain: which (codec, sr_hz) combos over-index in violations
-    flagged = clips.join(
+    flagged = scored.join(
         row_viol.select("clip_id").distinct().withColumn("_OUTLIER", F.lit(1.0)),
         "clip_id",
         "left",
@@ -186,5 +213,5 @@ def run_suite(
         ),
     )
 
-    stats = column_stats(clips, cfg.partition_col)
-    return SuiteResult(violations, verdicts, explanation, stats)
+    stats = column_stats(scored, cfg.partition_col)
+    return SuiteResult(violations, verdicts, explanation, stats, scored)

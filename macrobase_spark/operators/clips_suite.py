@@ -44,11 +44,11 @@ def clips_partition_verdicts_q(spark, sf_dir):
 @register("clips_snr_stats")  # rows-only
 def clips_snr_stats_q(spark, sf_dir):
     """Decoded-PCM SNR distribution per codec (vectorized pandas UDF path)."""
-    from macrobase_spark.operators.audio import snr_check
+    from macrobase_spark.operators.audio import score_clips
 
     n = clips_n(sf_dir)
     clips = generate_clips(spark, n)
-    scored = snr_check(clips, 30.0).join(clips.select("clip_id", "codec"), "clip_id")
+    scored = score_clips(clips, 30.0)
     return scored.groupBy("codec").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),

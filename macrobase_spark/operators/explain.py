@@ -19,11 +19,15 @@ What it computes (reference semantics):
 How it runs (Spark-first, 100 TB-ready):
 - round k = ONE shuffle: explode each row's k-combinations of its *frequent*
   singleton values, hash-aggregate sum(outlier), sum(count). Spark's
-  partial (map-side) aggregation absorbs key skew; candidate sets between
-  rounds are tiny driver lists (bounded by d^k / min_support) broadcast as
-  literals — never row data.
-- the input projection (outlier, count, frequent-item array) is cached
-  across the <=3 rounds and unpersisted at the end.
+  partial (map-side) aggregation absorbs key skew.
+- the ONLY data on the driver is per-round survivor aggregates — itemsets
+  that hold >= min_support of all outliers, so their count is bounded by
+  (#attrs choose k) / min_support regardless of input row count. Candidate
+  sets flow back into round k+1 as broadcast literals; the final violation
+  relation is assembled from those same aggregates, so each round's shuffle
+  executes exactly once.
+- the narrow (outlier, count, attrs) projection is cached across the
+  <=3 rounds and unpersisted at the end.
 """
 
 from __future__ import annotations
@@ -32,9 +36,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 from pyspark.storagelevel import StorageLevel
 
-from macrobase_spark.functions.metrics import ratio_metric_expr, support_expr
+from macrobase_spark.functions.metrics import ratio_metric_py
 from macrobase_spark.operators.classify import OUTLIER_COL
 
 _ITEMS = "_mb_items"
@@ -71,8 +76,16 @@ def _combos_expr(arr: str, k: int) -> Column:
     raise ValueError(f"order {k} not supported (max_order <= 3, as in the reference)")
 
 
-def _pair_key(a: Column, b: Column) -> Column:
-    return F.concat_ws("", a["ai"], a["val"], b["ai"], b["val"])
+def _result_schema(p: ExplainParams) -> StructType:
+    fields = [StructField(a, StringType()) for a in p.attributes]
+    fields.append(StructField("support", DoubleType()))
+    for m in [p.ratio_metric, *p.extra_ratio_metrics]:
+        fields.append(StructField(m, DoubleType()))
+    fields += [
+        StructField("outlier_count", DoubleType()),
+        StructField("total_count", DoubleType()),
+    ]
+    return StructType(fields)
 
 
 def explain(df: DataFrame, params: ExplainParams) -> DataFrame:
@@ -89,13 +102,24 @@ def explain(df: DataFrame, params: ExplainParams) -> DataFrame:
     )
 
     spark = df.sparkSession
-    g = df.agg(F.sum(out).alias("o"), F.sum(cnt).alias("n")).collect()[0]
-    total_outliers, total_rows = float(g["o"] or 0.0), float(g["n"] or 0.0)
-    if total_outliers == 0.0 or total_rows == 0.0:
-        return _empty_result(spark, p)
-    support_thresh = p.min_support * total_outliers
+    # narrow projection cached across the (global, round-1..3) scans — the
+    # rounds re-read ~20 bytes/row instead of re-running the upstream plan
+    base = df.select(out.alias("_o"), cnt.alias("_c"), *attrs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        return _explain_rounds(spark, base, attrs, p)
+    finally:
+        base.unpersist()
 
-    base = df.select(out.alias("_o"), cnt.alias("_c"), *attrs)
+
+def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) -> DataFrame:
+    g = base.agg(F.sum("_o").alias("o"), F.sum("_c").alias("n")).collect()[0]
+    total_outliers, total_rows = float(g["o"] or 0.0), float(g["n"] or 0.0)
+    schema = _result_schema(p)
+    if total_outliers == 0.0 or total_rows == 0.0:
+        return spark.createDataFrame([], schema)
+    support_thresh = p.min_support * total_outliers
 
     # ---- round 1: frequent singleton (attribute, value) pairs -------------
     item_structs = F.array(
@@ -104,16 +128,19 @@ def explain(df: DataFrame, params: ExplainParams) -> DataFrame:
             for i, a in enumerate(attrs)
         ]
     )
-    singles = (
+    surv1_rows = (
         base.select("_o", "_c", F.explode(item_structs).alias("it"))
         .filter(F.col("it.val").isNotNull())
         .groupBy("it")
-        .agg(F.sum("_o").alias("outlier_count"), F.sum("_c").alias("total_count"))
+        .agg(F.sum("_o").alias("oc"), F.sum("_c").alias("tc"))
+        .filter(F.col("oc") >= support_thresh)
+        .collect()
     )
-    surv1 = singles.filter(F.col("outlier_count") >= support_thresh)
-    # survivors are aggregates, bounded by d / min_support — safe to collect
-    surv1_rows = surv1.collect()
-    results = [_emit(spark, surv1, 1, p, total_outliers, total_rows, attrs)]
+    # survivors are support-bounded aggregates — the only rows on the driver
+    survivors: list[tuple[tuple[tuple[int, str], ...], float, float]] = [
+        (((r["it"]["ai"], r["it"]["val"]),), float(r["oc"]), float(r["tc"]))
+        for r in surv1_rows
+    ]
 
     if p.max_order >= 2 and surv1_rows:
         freq_by_attr: dict[int, list[str]] = {}
@@ -142,95 +169,61 @@ def explain(df: DataFrame, params: ExplainParams) -> DataFrame:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-        pairs = (
+        surv2_rows = (
             annotated.select("_o", "_c", F.explode(_combos_expr(_ITEMS, 2)).alias("its"))
             .groupBy("its")
-            .agg(F.sum("_o").alias("outlier_count"), F.sum("_c").alias("total_count"))
+            .agg(F.sum("_o").alias("oc"), F.sum("_c").alias("tc"))
+            .filter(F.col("oc") >= support_thresh)
+            .collect()
         )
-        surv2 = pairs.filter(F.col("outlier_count") >= support_thresh)
-        results.append(_emit(spark, surv2, 2, p, total_outliers, total_rows, attrs))
+        surv2_sets = []
+        for r in surv2_rows:
+            items = tuple((it["ai"], it["val"]) for it in r["its"])
+            surv2_sets.append(items)
+            survivors.append((items, float(r["oc"]), float(r["tc"])))
 
-        if p.max_order >= 3:
+        if p.max_order >= 3 and surv2_sets:
             surv2_keys = [
-                r["k"]
-                for r in surv2.select(
-                    _pair_key(F.col("its")[0], F.col("its")[1]).alias("k")
-                ).collect()
+                f"{a0}\x00{v0}\x00{a1}\x00{v1}" for ((a0, v0), (a1, v1)) in surv2_sets
             ]
-            if surv2_keys:
-                triples = annotated.filter(F.size(_ITEMS) >= 3).select(
-                    "_o", "_c", F.explode(_combos_expr(_ITEMS, 3)).alias("its")
-                )
-                it = F.col("its")
-                # order-3 candidate validation: every 2-subset survived round 2
-                valid = (
-                    _pair_key(it[0], it[1]).isin(surv2_keys)
-                    & _pair_key(it[0], it[2]).isin(surv2_keys)
-                    & _pair_key(it[1], it[2]).isin(surv2_keys)
-                )
-                agg3 = (
-                    triples.filter(valid)
-                    .groupBy("its")
-                    .agg(
-                        F.sum("_o").alias("outlier_count"),
-                        F.sum("_c").alias("total_count"),
-                    )
-                    .filter(F.col("outlier_count") >= support_thresh)
-                )
-                results.append(_emit(spark, agg3, 3, p, total_outliers, total_rows, attrs))
+            triples = annotated.filter(F.size(_ITEMS) >= 3).select(
+                "_o", "_c", F.explode(_combos_expr(_ITEMS, 3)).alias("its")
+            )
+            it = F.col("its")
+
+            def pkey(a, b):
+                return F.concat_ws("\x00", a["ai"], a["val"], b["ai"], b["val"])
+
+            # order-3 candidate validation: every 2-subset survived round 2
+            valid = (
+                pkey(it[0], it[1]).isin(surv2_keys)
+                & pkey(it[0], it[2]).isin(surv2_keys)
+                & pkey(it[1], it[2]).isin(surv2_keys)
+            )
+            surv3_rows = (
+                triples.filter(valid)
+                .groupBy("its")
+                .agg(F.sum("_o").alias("oc"), F.sum("_c").alias("tc"))
+                .filter(F.col("oc") >= support_thresh)
+                .collect()
+            )
+            for r in surv3_rows:
+                items = tuple((x["ai"], x["val"]) for x in r["its"])
+                survivors.append((items, float(r["oc"]), float(r["tc"])))
         annotated.unpersist()
 
-    result = results[0]
-    for r in results[1:]:
-        result = result.unionByName(r)
-    return result
-
-
-def _metric_cols(p: ExplainParams, total_outliers: float, total_rows: float) -> list[Column]:
-    oc, tc = F.col("outlier_count"), F.col("total_count")
-    cols = [support_expr(oc, total_outliers).alias("support")]
-    for m in [p.ratio_metric, *p.extra_ratio_metrics]:
-        cols.append(ratio_metric_expr(m, oc, tc, total_outliers, total_rows).alias(m))
-    return cols
-
-
-def _emit(
-    spark,
-    surv: DataFrame,
-    order: int,
-    p: ExplainParams,
-    total_outliers: float,
-    total_rows: float,
-    attrs: list[str],
-) -> DataFrame:
-    """Project survivors of one round into the null-padded output relation,
-    keeping only itemsets that pass the ratio threshold (KEEP action)."""
-    arr = "its" if order > 1 else "array(it)"
-    attr_cols = [
-        F.expr(f"try_element_at(filter({arr}, x -> x.ai = {i}), 1).val").alias(a)
-        for i, a in enumerate(attrs)
-    ]
-    out = surv.select(
-        *attr_cols,
-        *_metric_cols(p, total_outliers, total_rows),
-        F.col("outlier_count").cast("double").alias("outlier_count"),
-        F.col("total_count").cast("double").alias("total_count"),
-    )
-    return out.filter(F.col(p.ratio_metric) >= p.min_ratio_metric)
-
-
-def _empty_result(spark, p: ExplainParams) -> DataFrame:
-    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
-
-    fields = [StructField(a, StringType()) for a in p.attributes]
-    fields += [StructField("support", DoubleType())]
-    for m in [p.ratio_metric, *p.extra_ratio_metrics]:
-        fields.append(StructField(m, DoubleType()))
-    fields += [
-        StructField("outlier_count", DoubleType()),
-        StructField("total_count", DoubleType()),
-    ]
-    return spark.createDataFrame([], StructType(fields))
+    # ---- assemble the null-padded violation relation (KEEP action) --------
+    metrics = [p.ratio_metric, *p.extra_ratio_metrics]
+    out_rows = []
+    for items, oc, tc in survivors:
+        mvals = [ratio_metric_py(m, oc, tc, total_outliers, total_rows) for m in metrics]
+        if mvals[0] < p.min_ratio_metric:
+            continue
+        padded: list = [None] * len(attrs)
+        for ai, val in items:
+            padded[ai] = val
+        out_rows.append((*padded, oc / total_outliers, *mvals, oc, tc))
+    return spark.createDataFrame(out_rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +240,7 @@ def diff(
 ) -> DataFrame:
     """DIFF (SELECT ...) outliers, (SELECT ...) inliers ON attrs."""
     tagged = outliers.withColumn(OUTLIER_COL, F.lit(1.0)).unionByName(
-        inliers.withColumn(OUTLIER_COL, F.lit(1.0) * 0.0)
+        inliers.withColumn(OUTLIER_COL, F.lit(0.0))
     )
     return explain(tagged, ExplainParams(attributes=attributes, **kwargs))
 
