@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_brute_force_topk",
+    "iforest_outliers_embeddings",
+    "lof_outliers_embeddings",
     "embedding_cosine_dup",
     "text_quality",
     "doc_fingerprint",

@@ -150,32 +150,69 @@ SCORED_SCHEMA = StructType(
 )
 
 
-def score_clips(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
-    """ONE Arrow-batched pass over the full clips table that emits the narrow
-    scored relation every downstream check consumes: scalar passthrough +
-    transcript flags + payload size + decode/SNR verdicts.
+def _binary_views(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) numpy views over an Arrow binary array's buffers —
+    zero-copy access to every payload; no per-row bytes objects."""
+    import pyarrow as pa
 
-    This is the engine's scan discipline at 10^12-row scale: the `bytes`
-    column is read exactly once, everything after operates on ~60 bytes/row.
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return offsets, data
+
+
+def _decode_wav_view(raw: np.ndarray) -> tuple[int, np.ndarray] | None:
+    """decode_wav over a uint8 view (no copies except the 44-byte header and,
+    when the PCM slice lands on an odd address, one aligned copy)."""
+    if len(raw) < 44:
+        return None
+    header = raw[:44].tobytes()
+    if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+        return None
+    sr = int.from_bytes(header[24:28], "little")
+    nbytes = int.from_bytes(header[40:44], "little")
+    body = raw[44 : 44 + nbytes]
+    if len(body) < nbytes or nbytes % 2:
+        return None
+    if body.ctypes.data % 2 == 0:
+        pcm = body.view("<i2")
+    else:
+        pcm = np.frombuffer(body.tobytes(), dtype="<i2")
+    return sr, pcm.astype(np.float64) / 32768.0
+
+
+def score_clips(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
+    """ONE Arrow pass over the full clips table that emits the narrow scored
+    relation every downstream check consumes: scalar passthrough + transcript
+    flags + payload size + decode/SNR verdicts.
+
+    mapInArrow, not mapInPandas: payloads are decoded straight out of the
+    Arrow binary buffer as numpy views — no pandas conversion, no per-row
+    ``bytes`` objects, passthrough columns are zero-copy. This is the
+    engine's scan discipline at 10^12-row scale: the `bytes` column is read
+    exactly once, everything downstream operates on ~60 bytes/row.
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            idx = (
-                pd.to_numeric(pdf["clip_id"].str.slice(5, 17), errors="coerce")
-                .fillna(-1)
-                .astype(np.int64)
-                .to_numpy()
-            )
-            srs = pdf["sr_hz"].to_numpy()
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            n = b.num_rows
+            col = {name: b.column(i) for i, name in enumerate(b.schema.names)}
+            idx = pc.cast(
+                pc.utf8_slice_codeunits(col["clip_id"], 5, 17), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            srs = col["sr_hz"].to_numpy(zero_copy_only=False)
+            offsets, data = _binary_views(col["bytes"])
+            plen = np.diff(offsets).astype(np.int64)
             out_ok = np.zeros(n, dtype=bool)
             out_snr = np.full(n, -np.inf)
             out_srm = np.zeros(n, dtype=bool)
-            plen = np.zeros(n, dtype=np.int64)
-            for i, b in enumerate(pdf["bytes"]):
-                plen[i] = 0 if b is None else len(b)
-                dec = decode_wav(b)
+            for i in range(n):
+                dec = _decode_wav_view(data[offsets[i] : offsets[i + 1]])
                 if dec is None:
                     continue
                 sr, pcm = dec
@@ -183,22 +220,39 @@ def score_clips(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
                 out_srm[i] = sr == srs[i]
                 ref = render_reference(int(idx[i]), int(sr), len(pcm))
                 out_snr[i] = snr_db(ref, pcm)
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "sr_hz": pdf["sr_hz"],
-                    "dur_ms": pdf["dur_ms"],
-                    "codec": pdf["codec"],
-                    "transcript_null": pdf["transcript"].isna(),
-                    "transcript_empty": pdf["transcript"].fillna("x").eq(""),
-                    "payload_bytes": plen,
-                    "decode_ok": out_ok,
-                    "snr_db": out_snr,
-                    "sr_match": out_srm,
-                }
+            tr = col["transcript"]
+            t_null = pc.is_null(tr)
+            t_empty = pc.fill_null(pc.equal(tr, ""), False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    col["clip_id"],
+                    col["sr_hz"],
+                    col["dur_ms"],
+                    col["codec"],
+                    t_null,
+                    t_empty,
+                    pa.array(plen, type=pa.int64()),
+                    pa.array(out_ok),
+                    pa.array(out_snr, type=pa.float64()),
+                    pa.array(out_srm),
+                ],
+                names=[
+                    "clip_id",
+                    "sr_hz",
+                    "dur_ms",
+                    "codec",
+                    "transcript_null",
+                    "transcript_empty",
+                    "payload_bytes",
+                    "decode_ok",
+                    "snr_db",
+                    "sr_match",
+                ],
             )
 
-    return df.mapInPandas(run, SCORED_SCHEMA).withColumn(
+    return df.select(
+        "clip_id", "sr_hz", "dur_ms", "codec", "transcript", "bytes"
+    ).mapInArrow(run, SCORED_SCHEMA).withColumn(
         "snr_pass", F.col("decode_ok") & (F.col("snr_db") >= F.lit(min_snr_db))
     )
 

@@ -29,8 +29,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from macrobase_spark.operators.audio import score_clips
 from macrobase_spark.operators.explain import ExplainParams, explain
 
@@ -166,8 +164,11 @@ def run_suite(
 ) -> SuiteResult:
     cfg = cfg or SuiteConfig()
     # THE scan: bytes are read once, decode+SNR happen here, and only the
-    # narrow scored projection is cached for the rest of the suite.
-    scored = score_clips(clips, cfg.min_snr_db).persist(StorageLevel.MEMORY_AND_DISK)
+    # narrow scored projection is materialized for the rest of the suite.
+    # localCheckpoint stores the row RDD directly (and truncates lineage) —
+    # measurably cheaper than InMemoryRelation's compressed columnar cache
+    # for a relation this narrow, and every reuse skips the Python scan.
+    scored = score_clips(clips, cfg.min_snr_db).localCheckpoint(eager=True)
 
     violations = (
         uniqueness_check(scored)
@@ -177,7 +178,7 @@ def run_suite(
         .unionByName(
             drift_check(scored, "dur_ms", [cfg.partition_col, "sr_hz"], cfg.drift_mad_threshold)
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
 
     # per-partition verdicts: attribute row-level violations back to their
@@ -210,6 +211,7 @@ def run_suite(
             min_ratio_metric=cfg.explain_min_ratio,
             ratio_metric="risk_ratio",
             max_order=2,
+            cache_base=False,  # scored is already checkpointed
         ),
     )
 

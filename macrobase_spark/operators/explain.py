@@ -55,6 +55,9 @@ class ExplainParams:
     ratio_metric: str = "global_ratio"
     max_order: int = 3
     extra_ratio_metrics: list[str] = field(default_factory=list)
+    # set False when the caller's input is already cached/checkpointed and
+    # cheap to rescan (e.g. run_suite's scored relation)
+    cache_base: bool = True
 
 
 def _combos_expr(arr: str, k: int) -> Column:
@@ -104,13 +107,14 @@ def explain(df: DataFrame, params: ExplainParams) -> DataFrame:
     spark = df.sparkSession
     # narrow projection cached across the (global, round-1..3) scans — the
     # rounds re-read ~20 bytes/row instead of re-running the upstream plan
-    base = df.select(out.alias("_o"), cnt.alias("_c"), *attrs).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base = df.select(out.alias("_o"), cnt.alias("_c"), *attrs)
+    if p.cache_base:
+        base = base.persist(StorageLevel.MEMORY_ONLY)
     try:
         return _explain_rounds(spark, base, attrs, p)
     finally:
-        base.unpersist()
+        if p.cache_base:
+            base.unpersist()
 
 
 def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) -> DataFrame:
@@ -166,7 +170,7 @@ def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) 
                 F.array_compact(F.array(*fitem_cols)).alias(_ITEMS),
             )
             .filter(F.size(_ITEMS) >= 2)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_ONLY)
         )
 
         surv2_rows = (

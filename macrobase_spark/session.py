@@ -40,6 +40,12 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # File scans must produce at least ~2 splits/core even when the table
+        # is small relative to maxPartitionBytes (at 100 TB the natural split
+        # count dwarfs this and the setting is a no-op). Without it a small
+        # binary-heavy table packs into a handful of splits and a CPU-heavy
+        # Arrow-UDF stage runs on a fraction of the cores.
+        "spark.sql.files.minPartitionNum": str(shuffle_partitions * 2),
         # Arrow everywhere Python touches data.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

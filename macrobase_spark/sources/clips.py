@@ -145,6 +145,22 @@ def generate_clips(
     return base.mapInPandas(gen, CLIPS_SCHEMA)
 
 
+def write_clips_table(
+    spark: SparkSession,
+    n: int,
+    path: str,
+    max_payload_ms: int = 100,
+    partitions: int | None = None,
+) -> None:
+    """Materialize the clips table as parquet — the bench reads THIS, so the
+    measured job is scan(JVM) → score(Arrow) → checks, the same stage shape
+    as the production Iceberg table (generate-on-read would chain two Python
+    stages per task and double the worker count)."""
+    generate_clips(spark, n, max_payload_ms=max_payload_ms, partitions=partitions).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def generate_manifest(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Referential partner: every non-orphan clip_id + source/license dims."""
     parts = partitions or max(spark.sparkContext.defaultParallelism, 4)

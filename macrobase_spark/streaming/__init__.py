@@ -1,0 +1,7 @@
+from macrobase_spark.streaming.windowed import (  # noqa: F401
+    count_sliding_window,
+    count_tumbling_window,
+    moving_average,
+    stream_windowed_explain,
+    windowed_explain,
+)

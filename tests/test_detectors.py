@@ -1,0 +1,96 @@
+"""Isolation forest + LOF: planted-anomaly recovery, determinism across
+partitionings, and eval-metric sanity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.functions.evaluation import (
+    accuracy,
+    f_score,
+    ndcg_at_k,
+    pr_auc,
+    roc_auc,
+)
+from macrobase_spark.operators.detectors import (
+    fit_isolation_forest,
+    fit_lof,
+    iforest_score,
+    iforest_scores,
+    lof_score,
+    lof_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def planted():
+    """Gaussian blob + 3% far outliers, deterministic."""
+    rng = np.random.default_rng(7)
+    n_in, n_out = 2000, 60
+    inliers = rng.normal(0.0, 1.0, size=(n_in, 4))
+    outliers = rng.uniform(-8.0, 8.0, size=(n_out, 4))
+    outliers = outliers[np.abs(outliers).max(axis=1) > 4.0]
+    X = np.vstack([inliers, outliers])
+    y = np.r_[np.zeros(len(inliers), dtype=int), np.ones(len(outliers), dtype=int)]
+    return X, y
+
+
+def test_iforest_numpy_auc(planted):
+    X, y = planted
+    model = fit_isolation_forest(X, seed=1)
+    s = iforest_scores(model, X)
+    assert roc_auc(s, y) > 0.95
+
+
+def test_lof_numpy_auc(planted):
+    X, y = planted
+    model = fit_lof(X, k=20, seed=1)
+    s = lof_scores(model, X)
+    assert roc_auc(s, y) > 0.9
+
+
+def test_iforest_spark_matches_numpy(spark, planted):
+    X, y = planted
+    rows = [(int(i), *map(float, x)) for i, x in enumerate(X)]
+    df = spark.createDataFrame(rows, "id long, f0 double, f1 double, f2 double, f3 double")
+    scored = iforest_score(df, ["f0", "f1", "f2", "f3"], ["id"], seed=3).collect()
+    s = np.zeros(len(X))
+    for r in scored:
+        s[r["id"]] = r["_SCORE"]
+    assert roc_auc(s, y) > 0.95
+    # determinism across partitionings (model fit is sample-order dependent,
+    # so compare two runs at different parallelism on the same data)
+    scored2 = iforest_score(df.repartition(7), ["f0", "f1", "f2", "f3"], ["id"], seed=3).collect()
+    s2 = np.zeros(len(X))
+    for r in scored2:
+        s2[r["id"]] = r["_SCORE"]
+    assert roc_auc(s2, y) > 0.95
+
+
+def test_lof_spark_scores(spark, planted):
+    X, y = planted
+    rows = [(int(i), *map(float, x)) for i, x in enumerate(X)]
+    df = spark.createDataFrame(rows, "id long, f0 double, f1 double, f2 double, f3 double")
+    scored = lof_score(df, ["f0", "f1", "f2", "f3"], ["id"], seed=3).collect()
+    s = np.zeros(len(X))
+    for r in scored:
+        s[r["id"]] = r["_SCORE"]
+    assert roc_auc(s, y) > 0.9
+
+
+def test_eval_metrics_sanity():
+    scores = np.array([0.9, 0.8, 0.7, 0.3, 0.2, 0.1])
+    labels = np.array([1, 1, 1, 0, 0, 0])
+    assert roc_auc(scores, labels) == 1.0
+    assert pr_auc(scores, labels) == 1.0
+    assert ndcg_at_k(scores, labels, 3) == 1.0
+    flipped = roc_auc(-scores, labels)
+    assert flipped == 0.0
+    pred = (scores > 0.5).astype(int)
+    assert accuracy(pred, labels) == 1.0
+    assert f_score(pred, labels) == 1.0
+    # random-ish scores hover near 0.5 AUC
+    rng = np.random.default_rng(0)
+    r = rng.uniform(size=10000)
+    lab = rng.integers(0, 2, size=10000)
+    assert 0.45 < roc_auc(r, lab) < 0.55

@@ -1,0 +1,128 @@
+"""Windowed/streaming operators: planted-window recovery, streaming-vs-batch
+equivalence (the gold standard for streaming correctness), moving average,
+count windows."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.streaming import (
+    count_sliding_window,
+    count_tumbling_window,
+    moving_average,
+    stream_windowed_explain,
+    windowed_explain,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_stream(spark):
+    """3 hours of events; during hour 1 the outliers concentrate on
+    attr=bad (the StreamingSummarizationTest planted-anomaly shape,
+    reference lib/src/test/.../StreamingSummarizationTest.java:30-80)."""
+    rows = []
+    for i in range(3000):
+        hour = i // 1000
+        ts = f"2024-01-01 0{hour}:{(i % 1000) * 3 // 60:02d}:{(i % 1000) * 3 % 60:02d}"
+        if hour == 1 and i % 5 == 0:
+            rows.append((i, ts, "bad", 100.0 + i % 7))  # planted: outlier & bad
+        else:
+            attr = ["a", "b", "c"][i % 3]
+            val = 100.0 + i % 7 if i % 50 == 0 else float(i % 40)
+            rows.append((i, ts, attr, val))
+    df = spark.createDataFrame(rows, "id long, ts_s string, attr string, value double")
+    return df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_windowed_explain_recovers_planted_window(spark, planted_stream):
+    res = windowed_explain(
+        planted_stream,
+        "ts",
+        "1 hour",
+        None,
+        F.col("value") > 99.0,
+        ["attr"],
+        min_support=0.5,
+        min_ratio_metric=2.0,
+        ratio_metric="global_ratio",
+    ).collect()
+    # only the planted window explains, and it names attr=bad
+    hot = [r for r in res if r["value"] == "bad"]
+    assert len(hot) == 1
+    assert hot[0]["ws"].hour == 1
+    assert all(r["value"] == "bad" for r in res)
+
+
+def test_stream_matches_batch(spark, planted_stream, tmp_path):
+    """Structured Streaming over the same rows produces the same windowed
+    explanation as the batch plan."""
+    src = str(tmp_path / "stream_src")
+    # sentinel far-future inlier advances the watermark so every data window
+    # finalizes in append mode (its own window never emits: no outliers)
+    sentinel = spark.createDataFrame(
+        [(99999, "z", 0.0, "2024-01-02 00:00:00")],
+        "id long, attr string, value double, ts_s string",
+    ).select("id", "attr", "value", F.to_timestamp("ts_s").alias("ts"))
+    planted_stream.select("id", "attr", "value", "ts").unionByName(sentinel).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, attr string, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_windowed_explain(
+        stream,
+        "ts",
+        "1 hour",
+        F.col("value") > 99.0,
+        ["attr"],
+        min_support=0.5,
+        min_ratio_metric=2.0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winexp")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["ws"], r["value"], round(r["support"], 6), round(r["global_ratio"], 6))
+            for r in spark.table("winexp").collect()
+        }
+    finally:
+        q.stop()
+    exp = {
+        (r["ws"], r["value"], round(r["support"], 6), round(r["global_ratio"], 6))
+        for r in windowed_explain(
+            planted_stream, "ts", "1 hour", None, F.col("value") > 99.0, ["attr"],
+            min_support=0.5, min_ratio_metric=2.0,
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_moving_average(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "i long, v double")
+    got = {r["i"]: r["moving_avg"] for r in moving_average(df, "v", "i", 3).collect()}
+    assert got[0] == 0.0
+    assert got[1] == 0.5
+    assert got[5] == 4.0  # mean(3,4,5)
+
+
+def test_count_windows(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "i long")
+    t = {r["i"]: r["window_id"] for r in count_tumbling_window(df, "i", 4).collect()}
+    assert t[0] == 0 and t[3] == 0 and t[4] == 1 and t[9] == 2
+    s = count_sliding_window(df, "i", 4, 2).groupBy("window_id").count().collect()
+    by_w = {r["window_id"]: r["count"] for r in s}
+    # window 0 covers ordinals 0..3, window 1 covers 2..5, last windows partial
+    assert by_w[0] == 4 and by_w[1] == 4
+    rows_w1 = {
+        r["i"]
+        for r in count_sliding_window(df, "i", 4, 2).filter(F.col("window_id") == 1).collect()
+    }
+    assert rows_w1 == {2, 3, 4, 5}
