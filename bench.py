@@ -56,6 +56,7 @@ def main() -> int:
     from macrobase_spark import queries as Q
     import macrobase_spark.operators.clips_suite  # noqa: F401
     import macrobase_spark.operators.dedup  # noqa: F401
+    import macrobase_spark.operators.detectors  # noqa: F401
     import macrobase_spark.operators.similarity  # noqa: F401
     import macrobase_spark.operators.text  # noqa: F401
     from macrobase_spark.session import get_spark

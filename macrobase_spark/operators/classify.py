@@ -197,6 +197,99 @@ def _erf(z: Column) -> Column:
     return sign * (1.0 - poly * F.exp(-x * x))
 
 
+def _weighted_percentile_cutoff(
+    df: DataFrame, value_col: str, weight_col, frac: float
+) -> float:
+    """Distributed weighted percentile: sort by value, cumulative-sum the
+    weights with a window, take the first value whose cumulative weight
+    crosses frac — reference WeightedPercentile semantics
+    (lib/.../classify/stats/WeightedPercentile.java:11-56) without
+    materializing repeated values."""
+    from pyspark.sql import Window
+
+    total = df.agg(F.sum(weight_col).alias("t")).collect()[0]["t"]
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = df.select(F.col(value_col).alias("_v"), F.col(weight_col).alias("_w")).withColumn(
+        "_cw", F.sum("_w").over(w)
+    )
+    r = cum.filter(F.col("_cw") >= frac * total).orderBy("_v").limit(1).collect()
+    if not r:
+        r = cum.orderBy(F.desc("_v")).limit(1).collect()
+    return float(r[0]["_v"])
+
+
+def quantile_cube_classify(
+    df: DataFrame,
+    quantile_cols: list[tuple[float, str]],
+    count_col: str = "count",
+    percentile: float = 1.0,
+    include_high: bool = True,
+    include_low: bool = True,
+    output_col: str = OUTLIER_COL,
+) -> DataFrame:
+    """Cube classifier over groups that carry quantile columns (reference
+    lib/.../classify/QuantileClassifier.java:41-90 + LinearInterpolator):
+
+    1. global cutoffs = weighted percentile over every group's quantile
+       points, each point weighted by count x its probability mass;
+    2. per-group estimated outlier count = count x tail mass outside the
+       cutoffs, from piecewise-linear interpolation of the group's own
+       quantile CDF — as a pure column expression.
+
+    ``quantile_cols``: ascending [(level, column)], e.g.
+    [(0.0,'q0'), (0.5,'q50'), (1.0,'q100')].
+    """
+    qs = sorted(quantile_cols)
+    levels = [q for q, _ in qs]
+    cols = [c for _, c in qs]
+    # probability mass attributed to each quantile point (trapezoid split)
+    masses = []
+    for i in range(len(levels)):
+        lo = levels[i - 1] if i > 0 else levels[0]
+        hi = levels[i + 1] if i < len(levels) - 1 else levels[-1]
+        masses.append((hi - lo) / 2.0 if len(levels) > 1 else 1.0)
+
+    points = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(c).cast("double").alias("v"),
+                        (F.col(count_col) * F.lit(m)).cast("double").alias("w"),
+                    )
+                    for c, m in zip(cols, masses)
+                ]
+            )
+        ).alias("p")
+    ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+
+    p = percentile / 100.0
+    low_cut = _weighted_percentile_cutoff(points, "v", "w", p)
+    high_cut = _weighted_percentile_cutoff(points, "v", "w", 1.0 - p)
+
+    def cdf_expr(cut: float) -> Column:
+        """P(X <= cut) under the group's piecewise-linear quantile CDF."""
+        expr = F.lit(float(levels[0]))
+        for i in range(len(cols) - 1):
+            q0, q1 = F.col(cols[i]).cast("double"), F.col(cols[i + 1]).cast("double")
+            l0, l1 = levels[i], levels[i + 1]
+            seg = F.lit(l0) + (F.lit(l1 - l0)) * (F.lit(cut) - q0) / F.when(
+                q1 > q0, q1 - q0
+            ).otherwise(F.lit(float("inf")))
+            expr = F.when((F.lit(cut) >= q0) & (F.lit(cut) < q1), seg).otherwise(expr)
+        expr = F.when(F.lit(cut) >= F.col(cols[-1]).cast("double"), F.lit(float(levels[-1]))).otherwise(expr)
+        expr = F.when(F.lit(cut) < F.col(cols[0]).cast("double"), F.lit(float(levels[0]))).otherwise(expr)
+        return expr
+
+    frac = F.lit(0.0)
+    if include_high:
+        frac = frac + (F.lit(1.0) - cdf_expr(high_cut))
+    if include_low:
+        frac = frac + cdf_expr(low_cut)
+    frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    return df.withColumn(output_col, frac * F.col(count_col).cast("double"))
+
+
 def predicate_cube_classify(
     df: DataFrame, metric: str, cmp: str, value, count_col: str = "count",
     output_col: str = OUTLIER_COL,

@@ -58,6 +58,12 @@ class ExplainParams:
     # set False when the caller's input is already cached/checkpointed and
     # cheap to rescan (e.g. run_suite's scored relation)
     cache_base: bool = True
+    # KEEP/NEXT/PRUNE containment pruning (reference QualityMetric.java:13-58,
+    # APrioriLinear.java:279-322): an itemset that already passes the ratio
+    # threshold is emitted and NOT expanded, so no redundant supersets appear
+    # (golden corpus depends on this). False → emit the full support+ratio
+    # filtered cube (SQL-oracle-expressible mode).
+    prune_containment: bool = True
 
 
 def _combos_expr(arr: str, k: int) -> Column:
@@ -125,7 +131,14 @@ def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) 
         return spark.createDataFrame([], schema)
     support_thresh = p.min_support * total_outliers
 
-    # ---- round 1: frequent singleton (attribute, value) pairs -------------
+    def ratio(oc: float, tc: float) -> float:
+        return ratio_metric_py(p.ratio_metric, oc, tc, total_outliers, total_rows)
+
+    # emitted (KEEP) itemsets across all rounds; the only driver-side rows
+    # are support-bounded aggregates
+    emitted: list[tuple[tuple[tuple[int, str], ...], float, float]] = []
+
+    # ---- round 1: singleton (attribute, value) aggregates -----------------
     item_structs = F.array(
         *[
             F.struct(F.lit(i).alias("ai"), F.col(a).cast("string").alias("val"))
@@ -140,18 +153,24 @@ def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) 
         .filter(F.col("oc") >= support_thresh)
         .collect()
     )
-    # survivors are support-bounded aggregates — the only rows on the driver
-    survivors: list[tuple[tuple[tuple[int, str], ...], float, float]] = [
-        (((r["it"]["ai"], r["it"]["val"]),), float(r["oc"]), float(r["tc"]))
-        for r in surv1_rows
-    ]
+    next1: list = []  # singletons to expand (NEXT action)
+    for r in surv1_rows:
+        items = ((r["it"]["ai"], r["it"]["val"]),)
+        oc, tc = float(r["oc"]), float(r["tc"])
+        passes = ratio(oc, tc) >= p.min_ratio_metric
+        if passes:
+            emitted.append((items, oc, tc))
+        if (not p.prune_containment) or not passes:
+            # KEEP stops expansion under containment pruning
+            # (reference APrioriLinear.java:294-305)
+            next1.append(r)
 
-    if p.max_order >= 2 and surv1_rows:
+    if p.max_order >= 2 and next1:
         freq_by_attr: dict[int, list[str]] = {}
-        for r in surv1_rows:
+        for r in next1:
             freq_by_attr.setdefault(r["it"]["ai"], []).append(r["it"]["val"])
 
-        # per-row array of this row's frequent singletons, ai-ascending
+        # per-row array of this row's expandable singletons, ai-ascending
         fitem_cols = []
         for i, a in enumerate(attrs):
             vals = freq_by_attr.get(i)
@@ -180,15 +199,19 @@ def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) 
             .filter(F.col("oc") >= support_thresh)
             .collect()
         )
-        surv2_sets = []
+        next2_sets: list[tuple] = []  # pairs eligible as order-3 subsets
         for r in surv2_rows:
             items = tuple((it["ai"], it["val"]) for it in r["its"])
-            surv2_sets.append(items)
-            survivors.append((items, float(r["oc"]), float(r["tc"])))
+            oc, tc = float(r["oc"]), float(r["tc"])
+            passes = ratio(oc, tc) >= p.min_ratio_metric
+            if passes:
+                emitted.append((items, oc, tc))
+            if (not p.prune_containment) or not passes:
+                next2_sets.append(items)
 
-        if p.max_order >= 3 and surv2_sets:
-            surv2_keys = [
-                f"{a0}\x00{v0}\x00{a1}\x00{v1}" for ((a0, v0), (a1, v1)) in surv2_sets
+        if p.max_order >= 3 and next2_sets:
+            next2_keys = [
+                f"{a0}\x00{v0}\x00{a1}\x00{v1}" for ((a0, v0), (a1, v1)) in next2_sets
             ]
             triples = annotated.filter(F.size(_ITEMS) >= 3).select(
                 "_o", "_c", F.explode(_combos_expr(_ITEMS, 3)).alias("its")
@@ -198,11 +221,12 @@ def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) 
             def pkey(a, b):
                 return F.concat_ws("\x00", a["ai"], a["val"], b["ai"], b["val"])
 
-            # order-3 candidate validation: every 2-subset survived round 2
+            # order-3 candidate validation: every 2-subset must be an
+            # expandable pair (reference APrioriLinear.validateCandidate)
             valid = (
-                pkey(it[0], it[1]).isin(surv2_keys)
-                & pkey(it[0], it[2]).isin(surv2_keys)
-                & pkey(it[1], it[2]).isin(surv2_keys)
+                pkey(it[0], it[1]).isin(next2_keys)
+                & pkey(it[0], it[2]).isin(next2_keys)
+                & pkey(it[1], it[2]).isin(next2_keys)
             )
             surv3_rows = (
                 triples.filter(valid)
@@ -213,16 +237,16 @@ def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) 
             )
             for r in surv3_rows:
                 items = tuple((x["ai"], x["val"]) for x in r["its"])
-                survivors.append((items, float(r["oc"]), float(r["tc"])))
+                oc, tc = float(r["oc"]), float(r["tc"])
+                if ratio(oc, tc) >= p.min_ratio_metric:
+                    emitted.append((items, oc, tc))
         annotated.unpersist()
 
-    # ---- assemble the null-padded violation relation (KEEP action) --------
+    # ---- assemble the null-padded violation relation ----------------------
     metrics = [p.ratio_metric, *p.extra_ratio_metrics]
     out_rows = []
-    for items, oc, tc in survivors:
+    for items, oc, tc in emitted:
         mvals = [ratio_metric_py(m, oc, tc, total_outliers, total_rows) for m in metrics]
-        if mvals[0] < p.min_ratio_metric:
-            continue
         padded: list = [None] * len(attrs)
         for ai, val in items:
             padded[ai] = val

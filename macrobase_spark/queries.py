@@ -398,6 +398,7 @@ def explain_risk_ratio_events(spark, sf_dir):
         min_ratio_metric=1.0,
         ratio_metric="risk_ratio",
         max_order=2,
+        prune_containment=False,  # oracle = support+ratio filtered CUBE
     )
     return res.select(
         "event_type",
@@ -433,6 +434,7 @@ def explain_global_ratio_orders(spark, sf_dir):
         min_ratio_metric=0.8,
         ratio_metric="global_ratio",
         max_order=2,
+        prune_containment=False,  # oracle = support+ratio filtered CUBE
     )
     return res.select(
         "o_orderstatus",

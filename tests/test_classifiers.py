@@ -1,0 +1,69 @@
+"""Quantile cube classifier + simhash near-dup verification."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.operators.classify import (
+    arithmetic_cube_classify,
+    quantile_cube_classify,
+)
+from macrobase_spark.operators.dedup import simhash_candidates
+
+
+def test_quantile_cube_classify_recovers_tail(spark):
+    """Groups drawn from N(mu, 1); the group with mu=+6 holds the global
+    upper tail, so its estimated outlier count ≈ its full count."""
+    rng = np.random.default_rng(0)
+    levels = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    rows = []
+    for g, mu, cnt in [("a", 0.0, 1000), ("b", 0.2, 1000), ("c", 6.0, 20)]:
+        x = rng.normal(mu, 1.0, size=cnt)
+        qv = [float(np.quantile(x, q)) for q in levels]
+        rows.append((g, float(cnt), *qv))
+    cols = ["g", "count"] + [f"q{int(q*100)}" for q in levels]
+    df = spark.createDataFrame(rows, cols)
+    out = quantile_cube_classify(
+        df,
+        [(q, f"q{int(q*100)}") for q in levels],
+        count_col="count",
+        percentile=1.0,
+    )
+    got = {r["g"]: r["_OUTLIER"] for r in out.collect()}
+    # group c is entirely in the global top 1% → nearly all 20 are outliers
+    assert got["c"] > 15.0
+    # the bulk groups contribute only their own extreme sliver
+    assert got["a"] < 40.0 and got["b"] < 40.0
+
+
+def test_arithmetic_cube_classify(spark):
+    # 20 bulk groups with tight spread + one far-out group: the far group's
+    # whole Normal mass lies above the weighted-percentile cutoff
+    rows = [(f"g{i}", 100.0, float(i), 0.1) for i in range(20)]
+    rows.append(("hot", 5.0, 100.0, 0.1))
+    df = spark.createDataFrame(rows, ["g", "count", "mean", "std"])
+    out = arithmetic_cube_classify(df, percentile=1.0)
+    got = {r["g"]: r["_OUTLIER"] for r in out.collect()}
+    assert got["hot"] == pytest.approx(5.0, abs=0.1)
+    for i in range(1, 19):
+        assert got[f"g{i}"] < 1.0
+
+
+def test_simhash_near_dups(spark):
+    # long doc + 1-token edit → tiny hamming; unrelated docs → ~32 bits apart
+    rng = np.random.default_rng(1)
+    vocab = [f"w{j}" for j in range(500)]
+    base_words = [vocab[j] for j in rng.integers(0, 500, size=120)]
+    base = " ".join(base_words)
+    edited = " ".join(["XEDIT" if i == 60 else w for i, w in enumerate(base_words)])
+    docs = [(0, base), (1, edited)]
+    for i in range(2, 40):
+        docs.append((i, " ".join(vocab[j] for j in rng.integers(0, 500, size=100))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = simhash_candidates(df, "doc_id", "text", max_hamming=10).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got
+    h = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert h[(0, 1)] <= 10
+    # no unrelated doc pairs survive verification
+    assert all({a, b} <= {0, 1} for a, b in got)

@@ -40,11 +40,33 @@ def test_planted_anomaly_recovered(spark):
             min_ratio_metric=10.0,
             ratio_metric="risk_ratio",
             max_order=3,
+            prune_containment=False,  # full cube: the exact planted pair surfaces
         ),
     )
     top = res.orderBy(F.desc("risk_ratio"), F.desc("support")).limit(1).collect()[0]
     assert top["a0"] == "a0:1" and top["a1"] == "a1:1"
     assert top["a2"] is None and top["a3"] is None
+
+
+def test_containment_pruning_suppresses_supersets(spark):
+    """Reference KEEP/NEXT/PRUNE lattice: when the planted singletons already
+    clear the ratio threshold they are emitted alone — no redundant
+    supersets (APrioriLinear.java:294-305)."""
+    df = make_planted(spark)
+    res = explain(
+        df,
+        ExplainParams(
+            attributes=["a0", "a1", "a2", "a3"],
+            min_support=0.3,
+            min_ratio_metric=10.0,
+            ratio_metric="risk_ratio",
+            max_order=3,
+        ),
+    ).collect()
+    itemsets = {
+        tuple(a for a in ["a0", "a1", "a2", "a3"] if r[a] is not None) for r in res
+    }
+    assert itemsets == {("a0",), ("a1",)}
 
 
 def test_risk_ratio_infinity_edge(spark):
@@ -77,7 +99,7 @@ def test_support_threshold_and_counts(spark):
         df,
         ExplainParams(
             attributes=["loc", "ver"], min_support=0.5, min_ratio_metric=1.0,
-            ratio_metric="global_ratio", max_order=3,
+            ratio_metric="global_ratio", max_order=3, prune_containment=False,
         ),
     )
     got = {tuple(r[a] for a in ["loc", "ver"]): r for r in res.collect()}

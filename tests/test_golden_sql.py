@@ -1,0 +1,88 @@
+"""Golden-output SQL corpus: run the reference's own 20 test queries through
+the MacroBase-SQL dialect engine and compare against its checked-in expected
+CSVs (reference sql/src/test/java/.../MacroBaseSQLTest.java:81-241).
+
+The fixtures are read from /root/reference at test time (read-only); the
+whole module skips if the reference tree is absent."""
+
+import math
+import os
+import re
+
+import pandas as pd
+import pytest
+
+from macrobase_spark.sql import MacroBaseSQL
+
+RES = "/root/reference/sql/src/test/resources"
+SAMPLE = "/root/reference/core/demo/sample.csv"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(RES) and os.path.isfile(SAMPLE)),
+    reason="reference golden corpus not available",
+)
+
+# 11/12 carry ORDER BY (single-key; row order must respect it); others are
+# set-compared. 3 uses ON * auto-selection.
+ALL_QUERIES = list(range(1, 21))
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = MacroBaseSQL(spark)
+    eng.execute(
+        f"IMPORT FROM CSV FILE '{SAMPLE}' INTO sample"
+        "(usage double, latency double, location string, version string)"
+    )
+    return eng
+
+
+def _rows(pdf: pd.DataFrame):
+    out = []
+    for t in pdf.itertuples(index=False):
+        row = []
+        for v in t:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    row.append(None)
+                elif math.isinf(v):
+                    row.append("inf" if v > 0 else "-inf")
+                else:
+                    row.append(round(v, 6))
+            elif v is None or (isinstance(v, float) and pd.isna(v)):
+                row.append(None)
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return out
+
+
+def _expected(qnum: int) -> pd.DataFrame:
+    pdf = pd.read_csv(f"{RES}/{qnum}.csv")
+    return pdf
+
+
+@pytest.mark.parametrize("qnum", ALL_QUERIES)
+def test_golden_query(engine, qnum):
+    sql = open(f"{RES}/{qnum}.sql").read()
+    sql = re.sub(r"(?is)\s+INTO\s+OUTFILE\s+'[^']+'", "", sql)
+    got_df = engine.execute(sql)
+    got = got_df.toPandas()
+    exp = _expected(qnum)
+
+    # schema: same column names in the same order
+    assert list(got.columns) == list(exp.columns), (
+        f"q{qnum} columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    # attr columns: empty CSV fields are nulls
+    got_rows = _rows(got)
+    exp_rows = _rows(exp)
+    if qnum in (11, 12):
+        # ORDER BY support: compare the ordered support column exactly and
+        # the full relation as a multiset (ties may permute)
+        assert [r[2] for r in got_rows] == [r[2] for r in exp_rows], f"q{qnum} order"
+        assert sorted(got_rows, key=str) == sorted(exp_rows, key=str), f"q{qnum} rows"
+    else:
+        assert sorted(got_rows, key=str) == sorted(exp_rows, key=str), (
+            f"q{qnum}: {sorted(got_rows, key=str)[:4]} != {sorted(exp_rows, key=str)[:4]}"
+        )
