@@ -79,8 +79,12 @@ def null_checks(scored: DataFrame) -> DataFrame:
 
 
 def ref_integrity_check(scored: DataFrame, manifest: DataFrame) -> DataFrame:
-    keys = manifest.select("clip_id").distinct()
-    orphans = scored.join(F.broadcast(keys), "clip_id", "left_anti")
+    """LEFT ANTI join against the manifest keys. No broadcast hint and no
+    distinct: the manifest is fact-sized (one row per clip), so forcing a
+    broadcast would ship the whole key set to every task; AQE picks
+    broadcast automatically when the right side IS small, and its skew-join
+    splitting covers hot keys otherwise. Anti join needs no dedup."""
+    orphans = scored.join(manifest.select("clip_id"), "clip_id", "left_anti")
     return _v(orphans, "ref_integrity", "missing from manifest")
 
 

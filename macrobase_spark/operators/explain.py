@@ -123,22 +123,33 @@ def explain(df: DataFrame, params: ExplainParams) -> DataFrame:
             base.unpersist()
 
 
-def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) -> DataFrame:
-    g = base.agg(F.sum("_o").alias("o"), F.sum("_c").alias("n")).collect()[0]
-    total_outliers, total_rows = float(g["o"] or 0.0), float(g["n"] or 0.0)
-    schema = _result_schema(p)
-    if total_outliers == 0.0 or total_rows == 0.0:
-        return spark.createDataFrame([], schema)
-    support_thresh = p.min_support * total_outliers
+def _lattice_rounds(
+    base: DataFrame,
+    attrs: list[str],
+    n_aggs: int,
+    support_thresh: float,
+    metric_fn,
+    min_metric: float,
+    max_order: int,
+    prune: bool,
+) -> list[tuple[tuple, tuple[float, ...]]]:
+    """The shared APriori KEEP/NEXT/PRUNE engine over itemset orders 1..3.
 
-    def ratio(oc: float, tc: float) -> float:
-        return ratio_metric_py(p.ratio_metric, oc, tc, total_outliers, total_rows)
+    `base` must carry aggregate source columns _g0.._g{n-1} plus the
+    attribute columns; _g0 is the outlier-count-like column the support
+    threshold applies to. `metric_fn(aggs) -> float` is the (non-monotonic)
+    quality metric; itemsets with _g0 >= support_thresh AND metric >=
+    min_metric are emitted (KEEP); under `prune`, KEEP stops expansion and
+    order-3 candidates require all 2-subsets to be NEXT pairs (reference
+    APrioriLinear.java:279-322, validateCandidate:347-367).
 
-    # emitted (KEEP) itemsets across all rounds; the only driver-side rows
-    # are support-bounded aggregates
-    emitted: list[tuple[tuple[tuple[int, str], ...], float, float]] = []
+    Returns [(items, aggs)] where items = ((attr_idx, value), ...).
+    Only support-bounded aggregates ever reach the driver.
+    """
+    gcols = [f"_g{i}" for i in range(n_aggs)]
+    sums = [F.sum(c).alias(c) for c in gcols]
+    emitted: list[tuple[tuple, tuple[float, ...]]] = []
 
-    # ---- round 1: singleton (attribute, value) aggregates -----------------
     item_structs = F.array(
         *[
             F.struct(F.lit(i).alias("ai"), F.col(a).cast("string").alias("val"))
@@ -146,31 +157,28 @@ def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) 
         ]
     )
     surv1_rows = (
-        base.select("_o", "_c", F.explode(item_structs).alias("it"))
+        base.select(*gcols, F.explode(item_structs).alias("it"))
         .filter(F.col("it.val").isNotNull())
         .groupBy("it")
-        .agg(F.sum("_o").alias("oc"), F.sum("_c").alias("tc"))
-        .filter(F.col("oc") >= support_thresh)
+        .agg(*sums)
+        .filter(F.col("_g0") >= support_thresh)
         .collect()
     )
-    next1: list = []  # singletons to expand (NEXT action)
+    next1: list = []
     for r in surv1_rows:
         items = ((r["it"]["ai"], r["it"]["val"]),)
-        oc, tc = float(r["oc"]), float(r["tc"])
-        passes = ratio(oc, tc) >= p.min_ratio_metric
+        aggs = tuple(float(r[c]) for c in gcols)
+        passes = metric_fn(aggs) >= min_metric
         if passes:
-            emitted.append((items, oc, tc))
-        if (not p.prune_containment) or not passes:
+            emitted.append((items, aggs))
+        if (not prune) or not passes:
             # KEEP stops expansion under containment pruning
-            # (reference APrioriLinear.java:294-305)
             next1.append(r)
 
-    if p.max_order >= 2 and next1:
+    if max_order >= 2 and next1:
         freq_by_attr: dict[int, list[str]] = {}
         for r in next1:
             freq_by_attr.setdefault(r["it"]["ai"], []).append(r["it"]["val"])
-
-        # per-row array of this row's expandable singletons, ai-ascending
         fitem_cols = []
         for i, a in enumerate(attrs):
             vals = freq_by_attr.get(i)
@@ -183,46 +191,39 @@ def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) 
                 ).otherwise(F.lit(None))
             )
         annotated = (
-            base.select(
-                "_o",
-                "_c",
-                F.array_compact(F.array(*fitem_cols)).alias(_ITEMS),
-            )
+            base.select(*gcols, F.array_compact(F.array(*fitem_cols)).alias(_ITEMS))
             .filter(F.size(_ITEMS) >= 2)
             .persist(StorageLevel.MEMORY_ONLY)
         )
-
         surv2_rows = (
-            annotated.select("_o", "_c", F.explode(_combos_expr(_ITEMS, 2)).alias("its"))
+            annotated.select(*gcols, F.explode(_combos_expr(_ITEMS, 2)).alias("its"))
             .groupBy("its")
-            .agg(F.sum("_o").alias("oc"), F.sum("_c").alias("tc"))
-            .filter(F.col("oc") >= support_thresh)
+            .agg(*sums)
+            .filter(F.col("_g0") >= support_thresh)
             .collect()
         )
-        next2_sets: list[tuple] = []  # pairs eligible as order-3 subsets
+        next2_sets: list[tuple] = []
         for r in surv2_rows:
             items = tuple((it["ai"], it["val"]) for it in r["its"])
-            oc, tc = float(r["oc"]), float(r["tc"])
-            passes = ratio(oc, tc) >= p.min_ratio_metric
+            aggs = tuple(float(r[c]) for c in gcols)
+            passes = metric_fn(aggs) >= min_metric
             if passes:
-                emitted.append((items, oc, tc))
-            if (not p.prune_containment) or not passes:
+                emitted.append((items, aggs))
+            if (not prune) or not passes:
                 next2_sets.append(items)
 
-        if p.max_order >= 3 and next2_sets:
+        if max_order >= 3 and next2_sets:
             next2_keys = [
                 f"{a0}\x00{v0}\x00{a1}\x00{v1}" for ((a0, v0), (a1, v1)) in next2_sets
             ]
             triples = annotated.filter(F.size(_ITEMS) >= 3).select(
-                "_o", "_c", F.explode(_combos_expr(_ITEMS, 3)).alias("its")
+                *gcols, F.explode(_combos_expr(_ITEMS, 3)).alias("its")
             )
             it = F.col("its")
 
             def pkey(a, b):
                 return F.concat_ws("\x00", a["ai"], a["val"], b["ai"], b["val"])
 
-            # order-3 candidate validation: every 2-subset must be an
-            # expandable pair (reference APrioriLinear.validateCandidate)
             valid = (
                 pkey(it[0], it[1]).isin(next2_keys)
                 & pkey(it[0], it[2]).isin(next2_keys)
@@ -231,27 +232,111 @@ def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) 
             surv3_rows = (
                 triples.filter(valid)
                 .groupBy("its")
-                .agg(F.sum("_o").alias("oc"), F.sum("_c").alias("tc"))
-                .filter(F.col("oc") >= support_thresh)
+                .agg(*sums)
+                .filter(F.col("_g0") >= support_thresh)
                 .collect()
             )
             for r in surv3_rows:
                 items = tuple((x["ai"], x["val"]) for x in r["its"])
-                oc, tc = float(r["oc"]), float(r["tc"])
-                if ratio(oc, tc) >= p.min_ratio_metric:
-                    emitted.append((items, oc, tc))
+                aggs = tuple(float(r[c]) for c in gcols)
+                if metric_fn(aggs) >= min_metric:
+                    emitted.append((items, aggs))
         annotated.unpersist()
+    return emitted
 
-    # ---- assemble the null-padded violation relation ----------------------
+
+def _explain_rounds(spark, base: DataFrame, attrs: list[str], p: ExplainParams) -> DataFrame:
+    g = base.agg(F.sum("_o").alias("o"), F.sum("_c").alias("n")).collect()[0]
+    total_outliers, total_rows = float(g["o"] or 0.0), float(g["n"] or 0.0)
+    schema = _result_schema(p)
+    if total_outliers == 0.0 or total_rows == 0.0:
+        return spark.createDataFrame([], schema)
+    support_thresh = p.min_support * total_outliers
+
+    def primary(aggs: tuple[float, ...]) -> float:
+        return ratio_metric_py(p.ratio_metric, aggs[0], aggs[1], total_outliers, total_rows)
+
+    emitted = _lattice_rounds(
+        base.select(F.col("_o").alias("_g0"), F.col("_c").alias("_g1"), *attrs),
+        attrs,
+        2,
+        support_thresh,
+        primary,
+        p.min_ratio_metric,
+        p.max_order,
+        p.prune_containment,
+    )
+
     metrics = [p.ratio_metric, *p.extra_ratio_metrics]
     out_rows = []
-    for items, oc, tc in emitted:
+    for items, (oc, tc) in emitted:
         mvals = [ratio_metric_py(m, oc, tc, total_outliers, total_rows) for m in metrics]
         padded: list = [None] * len(attrs)
         for ai, val in items:
             padded[ai] = val
         out_rows.append((*padded, oc / total_outliers, *mvals, oc, tc))
     return spark.createDataFrame(out_rows, schema)
+
+
+def meanshift_explain(
+    df: DataFrame,
+    attributes: list[str],
+    min_support: float = 0.2,
+    min_mean_shift: float = 1.5,
+    max_order: int = 3,
+    prune_containment: bool = True,
+) -> DataFrame:
+    """APLCountMeanShiftSummarizer (reference lib/.../aplinear/
+    APLCountMeanShiftSummarizer.java:27-88 + MeanShiftQualityMetric.java:32-35):
+    itemset aggregates are the 4 CountMeanShift accumulator columns; metric =
+    (outlier mean) / (inlier mean); support over outlier counts."""
+    attrs = list(attributes)
+    spark = df.sparkSession
+    base = df.select(
+        F.col("_OUTLIERCOUNT").cast("double").alias("_g0"),
+        F.col("_INLIERCOUNT").cast("double").alias("_g1"),
+        F.col("_OUTLIERMEANSUM").cast("double").alias("_g2"),
+        F.col("_INLIERMEANSUM").cast("double").alias("_g3"),
+        *attrs,
+    ).persist(StorageLevel.MEMORY_ONLY)
+    try:
+        total_oc = float(base.agg(F.sum("_g0")).collect()[0][0] or 0.0)
+        fields = [StructField(a, StringType()) for a in attrs]
+        fields += [
+            StructField("support", DoubleType()),
+            StructField("mean_shift", DoubleType()),
+            StructField("outlier_count", DoubleType()),
+            StructField("inlier_count", DoubleType()),
+        ]
+        schema = StructType(fields)
+        if total_oc == 0.0:
+            return spark.createDataFrame([], schema)
+
+        def mean_shift(aggs: tuple[float, ...]) -> float:
+            oc, ic, oms, ims = aggs
+            if oc == 0.0 or ic == 0.0 or ims == 0.0:
+                return 0.0
+            return (oms / oc) / (ims / ic)
+
+        emitted = _lattice_rounds(
+            base,
+            attrs,
+            4,
+            min_support * total_oc,
+            mean_shift,
+            min_mean_shift,
+            max_order,
+            prune_containment,
+        )
+        rows = []
+        for items, (oc, ic, oms, ims) in emitted:
+            padded: list = [None] * len(attrs)
+            for ai, val in items:
+                padded[ai] = val
+            rows.append((*padded, oc / total_oc, mean_shift((oc, ic, oms, ims)), oc, ic))
+        return spark.createDataFrame(rows, schema)
+    finally:
+        base.unpersist()
 
 
 # ---------------------------------------------------------------------------

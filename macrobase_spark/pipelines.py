@@ -1,0 +1,191 @@
+"""Config-driven pipelines: the reference's YAML/JSON pipeline surface
+(reference core/.../pipeline/BasicBatchPipeline.java:78-193,
+CubePipeline.java:97-295, PipelineUtils.createPipeline:58-73) executed as
+Spark plans. A reference user's config runs unchanged:
+
+    run_config(spark, yaml.safe_load(open("batch.yaml")), base_dir=...)
+
+Supported keys (reference names):
+- pipeline: BasicBatchPipeline | CubePipeline
+- inputURI: csv://<path> (resolved against base_dir); also accepts
+  parquet://<path> and a registered table via table://<name>
+- classifier: percentile | predicate | countmeanshift (batch);
+  arithmetic | quantile | predicate | meanshift (cube)
+- metric, cutoff, includeHi/includeLo, predicate (op string)
+- countColumn, meanColumn, stdColumn, quantileColumns {name: level}
+- summarizer: apriori/aplinear | fpgrowth | countmeanshift
+- attributes, ratioMetric (globalRatio|riskRatio|prevalenceRatio),
+  minRatioMetric (default 3.0), minSupport (default 0.25), maxOrder
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from macrobase_spark.operators.classify import (
+    OUTLIER_COL,
+    arithmetic_cube_classify,
+    count_mean_shift_classify,
+    percentile_classify,
+    predicate_classify,
+    predicate_cube_classify,
+    quantile_cube_classify,
+)
+from macrobase_spark.operators.explain import (
+    ExplainParams,
+    explain,
+    meanshift_explain,
+)
+from macrobase_spark.operators.fpg import fpgrowth_explain
+from macrobase_spark.sources.csv_source import load_csv
+
+_METRIC_NAMES = {
+    "globalratio": "global_ratio",
+    "global_ratio": "global_ratio",
+    "riskratio": "risk_ratio",
+    "risk_ratio": "risk_ratio",
+    "prevalenceratio": "prevalence_ratio",
+    "prevalence_ratio": "prevalence_ratio",
+}
+
+
+@dataclass
+class PipelineResult:
+    classified: DataFrame  # input + _OUTLIER (or accumulator columns)
+    explanation: DataFrame  # the violation-row relation
+
+
+def _load(spark: SparkSession, conf: dict, base_dir: str) -> DataFrame:
+    uri = conf["inputURI"]
+    scheme, _, path = uri.partition("://")
+    if base_dir and not path.startswith("/"):
+        path = f"{base_dir.rstrip('/')}/{path}"
+    if scheme == "csv":
+        doubles = [
+            c
+            for c in [
+                conf.get("metric"),
+                conf.get("countColumn"),
+                conf.get("meanColumn"),
+                conf.get("stdColumn"),
+                *list(conf.get("quantileColumns", {})),
+            ]
+            if c
+        ]
+        if conf.get("classifier") == "predicate" and isinstance(conf.get("cutoff"), str):
+            doubles = [c for c in doubles if c != conf.get("metric")]
+        return load_csv(spark, path, double_cols=doubles)
+    if scheme == "parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"unsupported inputURI scheme {scheme!r}")
+
+
+def _classify(df: DataFrame, conf: dict, cube: bool) -> DataFrame:
+    kind = conf.get("classifier", "percentile").lower()
+    if not cube:
+        if kind == "percentile":
+            return percentile_classify(
+                df,
+                conf["metric"],
+                percentile=float(conf.get("cutoff", 0.5)),
+                include_high=bool(conf.get("includeHi", True)),
+                include_low=bool(conf.get("includeLo", True)),
+            )
+        if kind == "predicate":
+            return predicate_classify(
+                df, conf["metric"], conf.get("predicate", "=="), conf["cutoff"]
+            )
+        if kind == "countmeanshift":
+            pred_col = F.col(conf["metric"])
+            from macrobase_spark.operators.classify import predicate_expr
+
+            pred = predicate_expr(pred_col, conf.get("predicate", "=="), conf["cutoff"])
+            return count_mean_shift_classify(df, conf["meanColumn"], pred)
+        raise ValueError(f"bad batch classifier {kind!r}")
+    # cube classifiers
+    if kind == "arithmetic":
+        return arithmetic_cube_classify(
+            df,
+            count_col=conf.get("countColumn", "count"),
+            mean_col=conf.get("meanColumn", "mean"),
+            std_col=conf.get("stdColumn", "std"),
+            percentile=float(conf.get("cutoff", 1.0)),
+            include_high=bool(conf.get("includeHi", True)),
+            include_low=bool(conf.get("includeLo", True)),
+        )
+    if kind == "quantile":
+        qcols = sorted(
+            ((float(lvl), name) for name, lvl in conf["quantileColumns"].items())
+        )
+        return quantile_cube_classify(
+            df,
+            [(lvl, name) for lvl, name in qcols],
+            count_col=conf.get("countColumn", "count"),
+            percentile=float(conf.get("cutoff", 1.0)),
+            include_high=bool(conf.get("includeHi", True)),
+            include_low=bool(conf.get("includeLo", True)),
+        )
+    if kind == "predicate":
+        return predicate_cube_classify(
+            df,
+            conf["metric"],
+            conf.get("predicate", "=="),
+            conf["cutoff"],
+            count_col=conf.get("countColumn", "count"),
+        )
+    if kind in ("meanshift", "countmeanshift"):
+        from macrobase_spark.operators.classify import predicate_expr
+
+        pred = predicate_expr(F.col(conf["metric"]), conf.get("predicate", "=="), conf["cutoff"])
+        return count_mean_shift_classify(df, conf["meanColumn"], pred)
+    raise ValueError(f"bad cube classifier {kind!r}")
+
+
+def _summarize(df: DataFrame, conf: dict, cube: bool) -> DataFrame:
+    kind = conf.get("summarizer", "apriori").lower()
+    attrs = list(conf["attributes"])
+    min_support = float(conf.get("minSupport", 0.25))
+    min_ratio = float(
+        conf.get("minRatioMetric", conf.get("minRiskRatio", 3.0))
+    )
+    metric = _METRIC_NAMES[conf.get("ratioMetric", "globalRatio").lower()]
+    max_order = int(conf.get("maxOrder", 3))
+    if kind in ("apriori", "aplinear", "fpgrowth"):
+        params = ExplainParams(
+            attributes=attrs,
+            count_col=conf.get("countColumn") if cube else None,
+            min_support=min_support,
+            min_ratio_metric=min_ratio,
+            ratio_metric=metric,
+            max_order=max_order,
+        )
+        if kind == "fpgrowth":
+            return fpgrowth_explain(df, params)
+        return explain(df, params)
+    if kind == "countmeanshift":
+        return meanshift_explain(
+            df,
+            attrs,
+            min_support=min_support,
+            min_mean_shift=float(conf.get("meanShiftRatio", conf.get("minMeanShift", 1.1))),
+            max_order=max_order,
+        )
+    raise ValueError(f"bad summarizer {kind!r}")
+
+
+def run_config(spark: SparkSession, conf: dict, base_dir: str = "") -> PipelineResult:
+    """Load → classify → explain, per the reference pipeline contract."""
+    pipeline = conf.get("pipeline", "BasicBatchPipeline")
+    cube = pipeline == "CubePipeline"
+    # meanshift uses the dedicated summarizer regardless of the summarizer key
+    if cube and conf.get("classifier", "").lower() in ("meanshift", "countmeanshift"):
+        conf = {**conf, "summarizer": "countmeanshift"}
+    if not cube and conf.get("classifier", "").lower() == "countmeanshift":
+        conf = {**conf, "summarizer": "countmeanshift"}
+    df = _load(spark, conf, base_dir)
+    classified = _classify(df, conf, cube)
+    explanation = _summarize(classified, conf, cube)
+    return PipelineResult(classified, explanation)

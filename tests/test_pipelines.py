@@ -1,0 +1,134 @@
+"""Config-driven pipelines against the reference's own demo configs and
+fixtures (read from /root/reference at test time; skipped if absent)."""
+
+import json
+import os
+
+import pytest
+
+from macrobase_spark.operators.explain import meanshift_explain
+from macrobase_spark.operators.classify import count_mean_shift_classify
+from macrobase_spark.pipelines import run_config
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(f"{REF}/core/demo"), reason="reference demo configs absent"
+)
+
+
+def _yaml_lite(path: str) -> dict:
+    """Parse the reference's simple YAML configs without a YAML dependency."""
+    conf: dict = {}
+    key = None
+    for line in open(path):
+        line = line.split("#", 1)[0].rstrip()
+        if not line.strip():
+            continue
+        if line.lstrip().startswith("- "):
+            conf.setdefault(key, []).append(line.split("- ", 1)[1].strip().strip('"'))
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip(), val.strip().strip('"')
+        if val == "":
+            conf[key] = []
+        elif val in ("true", "false"):
+            conf[key] = val == "true"
+        else:
+            try:
+                conf[key] = float(val) if "." in val else val
+            except ValueError:
+                conf[key] = val
+    return conf
+
+
+def test_batch_yaml_demo(spark):
+    """core/demo/batch.yaml: percentile(usage,1.0) + aplinear global_ratio 10
+    over sample.csv — same fixture as golden query 4 (ratio 10, support .2)."""
+    conf = _yaml_lite(f"{REF}/core/demo/batch.yaml")
+    res = run_config(spark, conf, base_dir=REF)
+    rows = res.explanation.collect()
+    assert len(rows) > 0
+    # cross-check every emitted itemset against a pandas recomputation of
+    # the classified relation (independent of the Spark aggregation path)
+    cls = res.classified.toPandas()
+    total_out = cls["_OUTLIER"].sum()
+    for r in rows:
+        assert r["support"] >= 0.2
+        assert r["global_ratio"] >= 10.0
+        sub = cls
+        for a in ("location", "version"):
+            if r[a] is not None:
+                sub = sub[sub[a] == r[a]]
+        assert r["outlier_count"] == pytest.approx(sub["_OUTLIER"].sum())
+        assert r["total_count"] == pytest.approx(len(sub))
+        assert r["support"] == pytest.approx(sub["_OUTLIER"].sum() / total_out)
+
+
+def test_cube_json_demo(spark):
+    """core/demo/cube.json: arithmetic cube classifier over sample_cubed.csv."""
+    conf = json.load(open(f"{REF}/core/demo/cube.json"))
+    res = run_config(spark, conf, base_dir=REF)
+    rows = res.explanation.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["global_ratio"] >= 10.0
+
+
+def test_cube_quantile_demo(spark):
+    conf = json.load(open(f"{REF}/core/demo/cube_quantile.json"))
+    res = run_config(spark, conf, base_dir=REF)
+    assert res.explanation.count() >= 0  # runs end-to-end
+    assert "_OUTLIER" in res.classified.columns
+
+
+def test_double_predicate_demo(spark):
+    conf = json.load(open(f"{REF}/core/demo/double_predicate.json"))
+    res = run_config(spark, conf, base_dir=REF)
+    rows = res.explanation.collect()
+    assert len(rows) > 0
+
+
+def test_tiny_conf(spark):
+    conf = _yaml_lite(f"{REF}/core/src/test/resources/tiny_conf.yaml")
+    conf["inputURI"] = "csv://core/src/test/resources/tiny.csv"
+    res = run_config(spark, conf, base_dir=REF)
+    assert res.explanation.count() >= 0
+
+
+def test_meanshift_summarizer_planted(spark):
+    """Planted mean-shift: group g=hot has outlier mean 10x the inlier mean."""
+    rows = []
+    for i in range(400):
+        g = "hot" if i % 4 < 2 else "cold"
+        is_out = i % 2 == 0
+        v = 100.0 if (g == "hot" and is_out) else 10.0
+        rows.append((g, v, 1.0 if is_out else 0.0))
+    df = spark.createDataFrame(rows, ["g", "val", "flag"])
+    from pyspark.sql import functions as F
+
+    t = count_mean_shift_classify(df, "val", F.col("flag") == 1.0)
+    res = meanshift_explain(t, ["g"], min_support=0.1, min_mean_shift=2.0)
+    got = {r["g"]: r for r in res.collect()}
+    assert "hot" in got and "cold" not in got
+    assert got["hot"]["mean_shift"] == pytest.approx(10.0)
+
+
+def test_cube_meanshift_fixture(spark):
+    """CountMeanShift cube pipeline over the lib mean-shift fixture
+    (sample_cubedshift.csv: time-split, meanLatency shift)."""
+    conf = {
+        "pipeline": "CubePipeline",
+        "inputURI": "csv://lib/src/test/resources/sample_cubedshift.csv",
+        "classifier": "meanshift",
+        "metric": "time",
+        "predicate": "==",
+        "cutoff": 2.0,
+        "countColumn": "count",
+        "meanColumn": "meanLatency",
+        "attributes": ["location", "version", "language"],
+        "minSupport": 0.05,
+        "meanShiftRatio": 1.1,
+    }
+    res = run_config(spark, conf, base_dir=REF)
+    assert res.explanation.count() >= 0
