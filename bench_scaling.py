@@ -79,14 +79,22 @@ def child_main(cores: int, n: int, table: str) -> int:
     )
 
     def suite_pass(clips_df, num: int) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.time()
         res = run_suite(clips_df, generate_manifest(spark, num), SuiteConfig())
-        counts = {
-            "violations": res.violations.count(),
-            "verdicts": res.verdicts.count(),
-            "explanation": res.explanation.count(),
-            "column_stats": res.column_stats.count(),
-        }
+        # the four outputs are independent given the scored relation —
+        # submit their jobs concurrently from driver threads so the small
+        # aggregation jobs overlap instead of queueing (standard Spark
+        # multi-job driver pattern; applies at any cluster size)
+        with ThreadPoolExecutor(4) as ex:
+            futs = {
+                "violations": ex.submit(res.violations.count),
+                "verdicts": ex.submit(res.verdicts.count),
+                "explanation": ex.submit(res.explanation.count),
+                "column_stats": ex.submit(res.column_stats.count),
+            }
+            counts = {k: f.result() for k, f in futs.items()}
         wall = time.time() - t0
         res.scored.unpersist()
         res.violations.unpersist()

@@ -306,6 +306,43 @@ def raw_classify(df: DataFrame, outlier_col: str, output_col: str = OUTLIER_COL)
     return df.withColumn(output_col, F.col(outlier_col).cast("double"))
 
 
+def random_classify(
+    df: DataFrame, seed: int = 42, threshold: float | None = None, output_col: str = OUTLIER_COL
+) -> DataFrame:
+    """Baseline random scorer (reference alexp/.../outlier/RandomClassifier):
+    uniform score, optional threshold to a 0/1 flag. Deterministic per seed
+    and partitioning."""
+    score = F.rand(seed)
+    if threshold is None:
+        return df.withColumn(output_col, score)
+    return df.withColumn(output_col, F.when(score > threshold, 1.0).otherwise(0.0))
+
+
+def metric_bucket_transform(
+    df: DataFrame,
+    metric: str,
+    boundary_percentiles: list[float] | None = None,
+    output_col: str | None = None,
+    approx: bool = True,
+) -> DataFrame:
+    """Bucket a double column into categorical labels at percentile
+    boundaries so metrics can serve as explanation attributes (reference
+    lib/.../transform/MetricBucketTransformer.java:17-90; default boundaries
+    10/90). Labels are half-open range strings like '[lo, hi)'."""
+    ps = boundary_percentiles or [10.0, 90.0]
+    fracs = [p / 100.0 for p in ps]
+    row = df.agg(_pct(metric, fracs, approx).alias("cuts")).collect()[0]
+    cuts = [float(c) for c in row["cuts"]]
+    out = output_col or f"{metric}_bucket"
+    c = F.col(metric)
+    expr = F.lit(f"[{cuts[-1]}, inf)")
+    labels = ["-inf"] + [str(x) for x in cuts]
+    for i in range(len(cuts) - 1, -1, -1):
+        lo = labels[i]
+        expr = F.when(c < cuts[i], F.lit(f"[{lo}, {cuts[i]})")).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
 def min_max_normalize(df: DataFrame, col: str, output_col: str | None = None) -> DataFrame:
     """(x - min) / (max - min); one agg job, broadcast scalars."""
     row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]

@@ -137,6 +137,122 @@ def stream_windowed_explain(
     )
 
 
+def paned_windowed_explain(
+    df: DataFrame,
+    ts_col: str,
+    pane: str,
+    num_panes: int,
+    outlier_predicate: Column,
+    attributes: list[str],
+    min_support: float = 0.2,
+    min_ratio_metric: float = 1.5,
+    ratio_metric: str = "global_ratio",
+) -> DataFrame:
+    """Pane-incremental sliding-window explanation — the Spark rendering of
+    the reference's IncrementalSummarizer (lib/.../fpg/IncrementalSummarizer
+    .java:23-120: per-pane itemset counts combined into windows, panes
+    retired as the window slides).
+
+    The raw table is aggregated ONCE at pane grain (pane × attribute ×
+    value); each pane aggregate is then exploded into the `num_panes`
+    sliding windows that contain it and re-summed. The second shuffle moves
+    only aggregates — at any scale its input is bounded by
+    panes × attrs × values, never by row count. Sliding windows therefore
+    cost one raw-data pass total instead of one per overlapping window
+    (which is what `windowed_explain` with slide < window does).
+
+    Windows are labeled by their LAST pane start; only complete windows
+    (num_panes panes deep) are emitted.
+    """
+    import re as _re
+
+    m = _re.match(r"(\d+)\s*(\w+)", pane)
+    if not m:
+        raise ValueError(f"bad pane spec {pane!r}")
+    pane_expr = F.window(F.col(ts_col), pane)
+    flagged = df.withColumn(OUTLIER_COL, F.when(outlier_predicate, 1.0).otherwise(0.0))
+    items = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(a).alias("attribute"), F.col(a).cast("string").alias("value"))
+                for a in attributes
+            ]
+        )
+    ).alias("it")
+    # ONE raw-data pass: per-pane per-item partials + per-pane totals (the
+    # totals ride along as a null-item sentinel in the same aggregation)
+    per_pane = (
+        flagged.select(pane_expr.alias("w"), F.col(OUTLIER_COL).alias("_o"), items)
+        .select(
+            F.col("w.start").alias("ps"),
+            "_o",
+            F.explode(
+                F.array(F.col("it"), F.lit(None).cast("struct<attribute:string,value:string>"))
+            ).alias("it"),
+        )
+        .filter(F.col("it").isNull() | F.col("it.value").isNotNull())
+        .groupBy("ps", "it")
+        .agg(F.sum("_o").alias("oc"), F.count(F.lit(1)).cast("double").alias("tc"))
+    )
+    # each pane contributes to num_panes sliding windows (window id = the
+    # start of its last pane); aggregate-only shuffle
+    pane_secs = F.unix_timestamp(F.col("ps"))
+    # pane length in seconds from the spec string
+    unit = m.group(2).lower()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
+            "hours": 3600, "day": 86400, "days": 86400}[unit]
+    plen = int(m.group(1)) * mult
+    wins = per_pane.withColumn(
+        "wid",
+        F.explode(
+            F.sequence(pane_secs, pane_secs + F.lit((num_panes - 1) * plen), F.lit(plen))
+        ),
+    )
+    agg = wins.groupBy("wid", "it").agg(
+        F.sum("oc").alias("outlier_count"), F.sum("tc").alias("total_count")
+    )
+    totals = agg.filter(F.col("it").isNull()).select(
+        "wid",
+        F.col("outlier_count").alias("O"),
+        F.col("total_count").alias("N"),
+        F.lit(1).alias("_npanes"),
+    )
+    # count panes per window to keep only complete windows
+    pane_counts = wins.filter(F.col("it").isNull()).groupBy("wid").agg(
+        F.count(F.lit(1)).alias("n_panes")
+    )
+    j = (
+        agg.filter(F.col("it").isNotNull())
+        .join(totals.drop("_npanes"), "wid")
+        .join(pane_counts.filter(F.col("n_panes") == num_panes).select("wid"), "wid")
+    )
+    oc, tc, O, N = (F.col(c) for c in ["outlier_count", "total_count", "O", "N"])
+    support = oc / O
+    if ratio_metric == "global_ratio":
+        ratio = (oc / tc) / (O / N)
+    elif ratio_metric == "risk_ratio":
+        ratio = (
+            F.when(tc == 0, F.lit(0.0))
+            .when(N - tc == 0, F.lit(0.0))
+            .when(O - oc == 0, F.lit(float("inf")))
+            .otherwise((oc / tc) / ((O - oc) / (N - tc)))
+        )
+    else:
+        raise ValueError(f"unsupported ratio metric {ratio_metric!r}")
+    return (
+        j.select(
+            F.to_timestamp(F.from_unixtime("wid")).alias("window_last_pane"),
+            F.col("it.attribute").alias("attribute"),
+            F.col("it.value").alias("value"),
+            support.alias("support"),
+            ratio.alias(ratio_metric),
+            oc,
+            tc,
+        )
+        .filter((F.col("support") >= min_support) & (F.col(ratio_metric) >= min_ratio_metric))
+    )
+
+
 def moving_average(
     df: DataFrame,
     value_col: str,

@@ -105,6 +105,36 @@ def test_stream_matches_batch(spark, planted_stream, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_paned_equals_windowed(spark, planted_stream):
+    """Pane-incremental sliding windows == direct sliding-window explain on
+    the same data (1-hour panes, 2-pane windows vs window=2h slide=1h)."""
+    from macrobase_spark.streaming.windowed import paned_windowed_explain
+
+    direct = windowed_explain(
+        planted_stream, "ts", "2 hours", "1 hour", F.col("value") > 99.0, ["attr"],
+        min_support=0.3, min_ratio_metric=1.5,
+    ).collect()
+    paned = paned_windowed_explain(
+        planted_stream, "ts", "1 hour", 2, F.col("value") > 99.0, ["attr"],
+        min_support=0.3, min_ratio_metric=1.5,
+    ).collect()
+    # align: direct window [ws, ws+2h) corresponds to paned last-pane ws+1h;
+    # keep only windows fully covered by data panes on both sides
+    d = {
+        (r["ws"].hour + 1, r["value"]): (round(r["support"], 6), round(r["global_ratio"], 6),
+                                         r["outlier_count"], r["total_count"])
+        for r in direct
+        if r["ws"].day == 1 and 1 <= r["ws"].hour + 1 <= 2
+    }
+    g = {
+        (r["window_last_pane"].hour, r["value"]): (round(r["support"], 6), round(r["global_ratio"], 6),
+                                                   r["outlier_count"], r["total_count"])
+        for r in paned
+    }
+    assert len(g) > 0
+    assert g == d
+
+
 def test_moving_average(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(10)], "i long, v double")
     got = {r["i"]: r["moving_avg"] for r in moving_average(df, "v", "i", 3).collect()}
