@@ -538,6 +538,174 @@ def window_tumbling_events(spark, sf_dir):
     )
 
 
+@_q(
+    "windowed_explain_risk",
+    """
+    WITH t AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             CASE WHEN value > 90.0 THEN 1.0 ELSE 0.0 END AS o
+      FROM events),
+    per AS (SELECT ws, event_type,
+                   CAST(sum(o) AS DOUBLE) oc, CAST(count(*) AS DOUBLE) tc
+            FROM t GROUP BY 1, 2),
+    tot AS (SELECT ws, CAST(sum(o) AS DOUBLE) O, CAST(count(*) AS DOUBLE) N
+            FROM t GROUP BY 1)
+    SELECT per.ws, event_type AS value,
+           round(oc / O, 6) AS support,
+           round(CASE WHEN tc = 0 THEN 0.0 WHEN N - tc = 0 THEN 0.0
+                      WHEN O - oc = 0 THEN CAST('Infinity' AS DOUBLE)
+                      ELSE (oc / tc) / ((O - oc) / (N - tc)) END, 6) AS risk_ratio,
+           oc AS outlier_count, tc AS total_count
+    FROM per JOIN tot ON per.ws = tot.ws
+    WHERE oc / O >= 0.1
+      AND (CASE WHEN tc = 0 THEN 0.0 WHEN N - tc = 0 THEN 0.0
+                WHEN O - oc = 0 THEN CAST('Infinity' AS DOUBLE)
+                ELSE (oc / tc) / ((O - oc) / (N - tc)) END) >= 1.0
+    """,
+)
+def windowed_explain_risk(spark, sf_dir):
+    """Per-window (1h tumbling) order-1 risk-ratio explanation over
+    event_type — the windowed classify-then-explain as ONE declarative plan
+    (streaming-identical, see macrobase_spark.streaming)."""
+    from macrobase_spark.streaming import windowed_explain
+
+    e = _t(spark, sf_dir, "events")
+    res = windowed_explain(
+        e, "ts", "1 hour", None, F.col("value") > 90.0, ["event_type"],
+        min_support=0.1, min_ratio_metric=1.0, ratio_metric="risk_ratio",
+    )
+    return res.select(
+        "ws", "value",
+        F.round("support", 6).alias("support"),
+        F.round("risk_ratio", 6).alias("risk_ratio"),
+        "outlier_count", "total_count",
+    )
+
+
+@_q(
+    "meanshift_explain_events",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END o, value
+      FROM events),
+    g AS (SELECT event_type,
+                 CAST(sum(o) AS DOUBLE) oc,
+                 CAST(sum(1.0 - o) AS DOUBLE) ic,
+                 sum(CASE WHEN o = 1.0 THEN value ELSE 0.0 END) oms,
+                 sum(CASE WHEN o = 0.0 THEN value ELSE 0.0 END) ims
+          FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS DOUBLE) tot_o FROM t)
+    SELECT event_type,
+           round(oc / tot_o, 6) AS support,
+           round((oms / oc) / (ims / ic), 6) AS mean_shift,
+           oc AS outlier_count, ic AS inlier_count
+    FROM g, tot
+    WHERE oc >= 0.05 * tot_o AND (oms / oc) / (ims / ic) >= 0.5
+    """,
+)
+def meanshift_explain_events(spark, sf_dir):
+    """CountMeanShift classify + mean-shift summarizer (order 1, full set)."""
+    from macrobase_spark.operators.classify import count_mean_shift_classify
+    from macrobase_spark.operators.explain import meanshift_explain
+
+    e = _t(spark, sf_dir, "events")
+    t = count_mean_shift_classify(e, "value", F.col("event_id") % 2 == 0)
+    res = meanshift_explain(
+        t, ["event_type"], min_support=0.05, min_mean_shift=0.5,
+        max_order=1, prune_containment=False,
+    )
+    return res.select(
+        "event_type",
+        F.round("support", 6).alias("support"),
+        F.round("mean_shift", 6).alias("mean_shift"),
+        "outlier_count", "inlier_count",
+    )
+
+
+@_q(
+    "explain_fpgrowth_orders",
+    _explain_oracle(
+        "orders",
+        ["o_orderstatus", "o_orderpriority"],
+        "CASE WHEN o_totalprice > (SELECT CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE)"
+        " FROM orders) THEN 1.0 ELSE 0.0 END",
+        0.05,
+        0.8,
+        "global_ratio",
+    ),
+)
+def explain_fpgrowth_orders(spark, sf_dir):
+    """Same relation as explain_global_ratio_orders but via the FPGrowth
+    kernel (pyspark.ml.fpm) — cross-engine equivalence at the driver gate."""
+    from macrobase_spark.operators.classify import OUTLIER_COL
+    from macrobase_spark.operators.explain import ExplainParams
+    from macrobase_spark.operators.fpg import fpgrowth_explain
+
+    o = _t(spark, sf_dir, "orders")
+    cut = _exact_pct(o, "o_totalprice", 0.9)
+    tagged = o.withColumn(OUTLIER_COL, F.when(F.col("o_totalprice") > cut, 1.0).otherwise(0.0))
+    res = fpgrowth_explain(
+        tagged,
+        ExplainParams(
+            attributes=["o_orderstatus", "o_orderpriority"],
+            min_support=0.05, min_ratio_metric=0.8,
+            ratio_metric="global_ratio", max_order=2,
+        ),
+    )
+    return res.select(
+        "o_orderstatus", "o_orderpriority",
+        F.round("support", 6).alias("support"),
+        F.round("global_ratio", 6).alias("global_ratio"),
+        "outlier_count", "total_count",
+    )
+
+
+@_q(
+    "moving_average_users",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM events WHERE user_id < 10
+    """,
+)
+def moving_average_users(spark, sf_dir):
+    """Per-user moving average over the last 5 events (reference
+    MovingAverage as a window frame)."""
+    from macrobase_spark.streaming import moving_average
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    res = moving_average(e, "value", "event_id", 5, partition_cols=["user_id"])
+    return res.select(
+        "user_id", "event_id", F.round("moving_avg", 6).alias("moving_avg")
+    )
+
+
+@_q(
+    "count_tumbling_events",
+    """
+    WITH o AS (SELECT event_type,
+                      row_number() OVER (ORDER BY event_id) - 1 AS ord
+               FROM events)
+    SELECT CAST(floor(ord / 1000) AS BIGINT) AS window_id,
+           count(*) AS n,
+           count(DISTINCT event_type) AS n_types
+    FROM o GROUP BY 1
+    """,
+)
+def count_tumbling_events(spark, sf_dir):
+    """Count-based tumbling windows (reference Tumbling.java) summarized."""
+    from macrobase_spark.streaming import count_tumbling_window
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    w = count_tumbling_window(e, "event_id", 1000)
+    return w.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator hook for extension modules (dedup/text/similarity) to add
     their queries to the same registry."""

@@ -29,6 +29,25 @@ from pyspark.sql import functions as F
 from macrobase_spark.operators.classify import OUTLIER_COL
 
 
+def _support_ratio_exprs(oc, tc, O, N, ratio_metric: str):
+    """support + ratio columns with zero-division guards (a window with no
+    outliers gets support/ratio 0 and is threshold-filtered away)."""
+    support = F.when(O > 0, oc / O).otherwise(F.lit(0.0))
+    if ratio_metric == "global_ratio":
+        ratio = F.when(O > 0, (oc / tc) / (O / N)).otherwise(F.lit(0.0))
+    elif ratio_metric == "risk_ratio":
+        ratio = (
+            F.when(O == 0, F.lit(0.0))
+            .when(tc == 0, F.lit(0.0))
+            .when(N - tc == 0, F.lit(0.0))
+            .when(O - oc == 0, F.lit(float("inf")))
+            .otherwise((oc / tc) / ((O - oc) / (N - tc)))
+        )
+    else:
+        raise ValueError(f"unsupported windowed ratio metric {ratio_metric!r}")
+    return support, ratio
+
+
 def windowed_explain(
     df: DataFrame,
     ts_col: str,
@@ -77,18 +96,7 @@ def windowed_explain(
     )
     j = per_item.join(totals, "w")
     oc, tc, O, N = (F.col(c) for c in ["outlier_count", "total_count", "O", "N"])
-    support = oc / O
-    if ratio_metric == "global_ratio":
-        ratio = (oc / tc) / (O / N)
-    elif ratio_metric == "risk_ratio":
-        ratio = (
-            F.when(tc == 0, F.lit(0.0))
-            .when(N - tc == 0, F.lit(0.0))
-            .when(O - oc == 0, F.lit(float("inf")))
-            .otherwise((oc / tc) / ((O - oc) / (N - tc)))
-        )
-    else:
-        raise ValueError(f"unsupported windowed ratio metric {ratio_metric!r}")
+    support, ratio = _support_ratio_exprs(oc, tc, O, N, ratio_metric)
     return (
         j.select(
             F.col("w.start").alias("ws"),
@@ -227,18 +235,7 @@ def paned_windowed_explain(
         .join(pane_counts.filter(F.col("n_panes") == num_panes).select("wid"), "wid")
     )
     oc, tc, O, N = (F.col(c) for c in ["outlier_count", "total_count", "O", "N"])
-    support = oc / O
-    if ratio_metric == "global_ratio":
-        ratio = (oc / tc) / (O / N)
-    elif ratio_metric == "risk_ratio":
-        ratio = (
-            F.when(tc == 0, F.lit(0.0))
-            .when(N - tc == 0, F.lit(0.0))
-            .when(O - oc == 0, F.lit(float("inf")))
-            .otherwise((oc / tc) / ((O - oc) / (N - tc)))
-        )
-    else:
-        raise ValueError(f"unsupported ratio metric {ratio_metric!r}")
+    support, ratio = _support_ratio_exprs(oc, tc, O, N, ratio_metric)
     return (
         j.select(
             F.to_timestamp(F.from_unixtime("wid")).alias("window_last_pane"),
