@@ -120,6 +120,79 @@ def snr_db(signal: np.ndarray, decoded: np.ndarray) -> float:
     return 10.0 * np.log10(ps / pn)
 
 
+# -- audio feature extraction (multimodal feature-extract path) --------------
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("clipping_ratio", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+        StructField("dominant_freq_hz", DoubleType()),
+        StructField("spectral_centroid_hz", DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip DSP features over Arrow batches: RMS, peak, clipping ratio,
+    zero-crossing rate, dominant frequency (rFFT argmax), spectral centroid.
+
+    This is the engine's multimodal feature-extract operator: binary column
+    in, typed feature columns out, numpy per batch — the same plumbing a
+    compressed-codec decoder or an embedding model would slot into (those
+    decoders aren't in this container: see decode_compressed)."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            col = {name: b.column(i) for i, name in enumerate(b.schema.names)}
+            offsets, data = _binary_views(col["bytes"])
+            ok = np.zeros(n, dtype=bool)
+            rms = np.zeros(n)
+            peak = np.zeros(n)
+            clip_r = np.zeros(n)
+            zcr = np.zeros(n)
+            domf = np.zeros(n)
+            cent = np.zeros(n)
+            for i in range(n):
+                dec = _decode_wav_view(data[offsets[i] : offsets[i + 1]])
+                if dec is None:
+                    continue
+                sr, pcm = dec
+                if len(pcm) == 0:
+                    continue
+                ok[i] = True
+                rms[i] = float(np.sqrt(np.mean(pcm * pcm)))
+                peak[i] = float(np.abs(pcm).max())
+                clip_r[i] = float((np.abs(pcm) >= 0.999).mean())
+                zcr[i] = float((np.diff(np.signbit(pcm)) != 0).mean()) if len(pcm) > 1 else 0.0
+                spec = np.abs(np.fft.rfft(pcm))
+                freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr)
+                if spec.sum() > 0:
+                    domf[i] = float(freqs[int(spec[1:].argmax()) + 1]) if len(spec) > 1 else 0.0
+                    cent[i] = float((freqs * spec).sum() / spec.sum())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    col["clip_id"],
+                    pa.array(ok),
+                    pa.array(rms),
+                    pa.array(peak),
+                    pa.array(clip_r),
+                    pa.array(zcr),
+                    pa.array(domf),
+                    pa.array(cent),
+                ],
+                names=[f.name for f in FEATURES_SCHEMA.fields],
+            )
+
+    return df.select("clip_id", "bytes").mapInArrow(run, FEATURES_SCHEMA)
+
+
 # -- Spark-side: the vectorized SNR validation operator ----------------------
 
 SNR_SCHEMA = StructType(

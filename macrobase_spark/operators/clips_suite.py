@@ -57,6 +57,27 @@ def clips_snr_stats_q(spark, sf_dir):
     )
 
 
+@register("clips_audio_features")  # rows-only
+def clips_audio_features_q(spark, sf_dir):
+    """Per-codec DSP feature profile: dominant frequency should match the
+    deterministic tone for clean clips; clipping/zero-cross distributions
+    profile the corpus."""
+    from macrobase_spark.operators.audio import extract_audio_features
+
+    n = clips_n(sf_dir)
+    clips = generate_clips(spark, n)
+    feats = extract_audio_features(clips).join(
+        clips.select("clip_id", "codec"), "clip_id"
+    )
+    return feats.filter(F.col("decode_ok")).groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.avg("zero_cross_rate"), 4).alias("avg_zcr"),
+        F.round(F.avg("dominant_freq_hz"), 1).alias("avg_dom_freq"),
+        F.round(F.avg("clipping_ratio"), 6).alias("avg_clip_ratio"),
+    )
+
+
 @register("clips_explain_violations")  # rows-only
 def clips_explain_violations_q(spark, sf_dir):
     """Risk-ratio attribute explanation of violation rows over

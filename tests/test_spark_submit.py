@@ -1,0 +1,59 @@
+"""Packaging: the engine ships as a zip via spark-submit --py-files and the
+validate job runs end-to-end with manifest resume (north rule: 'run via
+spark-submit --py-files on a multi-executor cluster')."""
+
+import json
+import shutil
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+)
+
+
+def _zip_engine(dest: Path) -> Path:
+    zpath = dest / "engine.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in (REPO / "macrobase_spark").rglob("*.py"):
+            z.write(f, f.relative_to(REPO))
+    return zpath
+
+
+def _submit(zpath: Path, *args: str) -> dict:
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath),
+            str(REPO / "jobs" / "validate.py"),
+            *args,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    last = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(last)
+
+
+def test_spark_submit_validate_and_resume(tmp_path):
+    zpath = _zip_engine(tmp_path)
+    mdir = str(tmp_path / "manifest")
+    r1 = _submit(zpath, "--n", "3000", "--manifest-dir", mdir, "--master", "local[4]")
+    assert r1["rows"] == 3000
+    assert r1["violations"] > 0
+    assert r1["partitions"] >= 4
+    assert r1["clips_per_sec"] > 0
+    # resume: everything is already recorded in the manifest
+    r2 = _submit(zpath, "--n", "3000", "--manifest-dir", mdir, "--master", "local[4]", "--resume")
+    assert r2.get("status") == "nothing to do"

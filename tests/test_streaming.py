@@ -143,6 +143,48 @@ def test_moving_average(spark):
     assert got[5] == 4.0  # mean(3,4,5)
 
 
+def test_stream_count_tumbling_stateful(spark, tmp_path):
+    """applyInPandasWithState count windows: state carries partial windows
+    across micro-batches; complete windows emit exactly once."""
+    from macrobase_spark.streaming.stateful import stream_count_tumbling
+
+    src = str(tmp_path / "cw_src")
+    # 3 files -> 3 micro-batches; per key, constant values so window sums
+    # are arrival-order-insensitive
+    rows = [("a", 2.0)] * 4 + [("b", 3.0)] * 3
+    df = spark.createDataFrame(rows, "k string, v double")
+    for i in range(3):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    import glob
+    import shutil
+
+    merged = str(tmp_path / "stream_in")
+    import os
+
+    os.makedirs(merged)
+    for i, f in enumerate(sorted(glob.glob(f"{src}/f*/part-*.parquet"))):
+        shutil.copy(f, f"{merged}/{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    out = stream_count_tumbling(stream, "k", "v", size=5)
+    q = out.writeStream.format("memory").queryName("cw").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["key"], r["window_id"], r["n"], r["sum_value"])
+            for r in spark.table("cw").collect()
+        )
+    finally:
+        q.stop()
+    # totals: a -> 12 events -> 2 complete windows of 5 (2 leftover);
+    #         b -> 9 events  -> 1 complete window (4 leftover)
+    assert got == [("a", 0, 5, 10.0), ("a", 1, 5, 10.0), ("b", 0, 5, 15.0)]
+
+
 def test_count_windows(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], "i long")
     t = {r["i"]: r["window_id"] for r in count_tumbling_window(df, "i", 4).collect()}
