@@ -104,6 +104,30 @@ def render_reference(clip_index: int, sr: int, n_samples: int) -> np.ndarray:
     return 0.8 * np.sin(2 * np.pi * f0 * t)
 
 
+# per-worker memo of reference renders: f0 takes ~400 distinct values and
+# (sr, n_samples) a handful, so a corpus of ANY size needs only ~2000
+# distinct reference signals — rendering each once removes nearly all sin()
+# work from the scoring scan. Bounded so adversarial shapes can't grow it.
+_REF_CACHE: dict = {}
+_REF_CACHE_MAX = 4096
+
+
+def _ref_matrix(sr: int, ns: int, f0s: np.ndarray) -> np.ndarray:
+    out = np.empty((len(f0s), ns), dtype=np.float64)
+    t = None
+    for k, f0 in enumerate(f0s):
+        key = (sr, ns, float(f0))
+        r = _REF_CACHE.get(key)
+        if r is None:
+            if t is None:
+                t = np.arange(ns, dtype=np.float64) / sr
+            r = 0.8 * np.sin(2 * np.pi * float(f0) * t)
+            if len(_REF_CACHE) < _REF_CACHE_MAX:
+                _REF_CACHE[key] = r
+        out[k] = r
+    return out
+
+
 def snr_db(signal: np.ndarray, decoded: np.ndarray) -> float:
     """SNR of decoded against the reference signal, in dB."""
     n = min(len(signal), len(decoded))
@@ -284,15 +308,37 @@ def score_clips(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
             out_ok = np.zeros(n, dtype=bool)
             out_snr = np.full(n, -np.inf)
             out_srm = np.zeros(n, dtype=bool)
+            # decode per clip (variable-length headers), then batch the
+            # render+SNR as one matrix op per (sr, n_samples) shape group —
+            # most clips share a shape, so sin/reductions run over 2D blocks
+            # instead of 8M small arrays
+            decoded: list = [None] * n
+            groups: dict[tuple[int, int], list[int]] = {}
             for i in range(n):
                 dec = _decode_wav_view(data[offsets[i] : offsets[i + 1]])
                 if dec is None:
                     continue
                 sr, pcm = dec
+                decoded[i] = pcm
                 out_ok[i] = True
                 out_srm[i] = sr == srs[i]
-                ref = render_reference(int(idx[i]), int(sr), len(pcm))
-                out_snr[i] = snr_db(ref, pcm)
+                groups.setdefault((sr, len(pcm)), []).append(i)
+            for (sr, ns), members in groups.items():
+                if ns == 0:
+                    continue
+                for s in range(0, len(members), 256):
+                    chunk = members[s : s + 256]
+                    f0 = tone_hz(np.asarray(idx)[chunk].astype(np.uint64))
+                    ref = _ref_matrix(sr, ns, f0)
+                    P = np.vstack([decoded[i] for i in chunk])
+                    noise = P - ref
+                    ps = np.einsum("ij,ij->i", ref, ref)
+                    pn = np.einsum("ij,ij->i", noise, noise)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        snr = 10.0 * np.log10(ps / pn)
+                    snr = np.where(pn == 0.0, np.inf, snr)
+                    snr = np.where(ps == 0.0, -np.inf, snr)
+                    out_snr[chunk] = snr
             tr = col["transcript"]
             t_null = pc.is_null(tr)
             t_empty = pc.fill_null(pc.equal(tr, ""), False)

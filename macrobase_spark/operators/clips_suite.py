@@ -31,7 +31,7 @@ def clips_table(spark, sf_dir: str):
     shape (JVM scan → one Arrow scoring pass) instead of chaining two
     Python stages (synth + score) per task."""
     n = clips_n(sf_dir)
-    path = f"/tmp/mb_bench_clips_{n}.parquet"
+    path = f"/tmp/mb_bench_clips_v2_{n}.parquet"  # bump on fixture changes
     if not os.path.isfile(f"{path}/_SUCCESS"):
         write_clips_table(spark, n, path, max_payload_ms=100)
     return spark.read.parquet(path)

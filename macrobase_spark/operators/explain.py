@@ -190,11 +190,13 @@ def _lattice_rounds(
                     c.isin(vals), F.struct(F.lit(i).alias("ai"), c.alias("val"))
                 ).otherwise(F.lit(None))
             )
-        annotated = (
-            base.select(*gcols, F.array_compact(F.array(*fitem_cols)).alias(_ITEMS))
-            .filter(F.size(_ITEMS) >= 2)
-            .persist(StorageLevel.MEMORY_ONLY)
-        )
+        annotated = base.select(
+            *gcols, F.array_compact(F.array(*fitem_cols)).alias(_ITEMS)
+        ).filter(F.size(_ITEMS) >= 2)
+        # cache only when the order-3 round will scan it a second time
+        cache_annotated = max_order >= 3
+        if cache_annotated:
+            annotated = annotated.persist(StorageLevel.MEMORY_ONLY)
         surv2_rows = (
             annotated.select(*gcols, F.explode(_combos_expr(_ITEMS, 2)).alias("its"))
             .groupBy("its")
@@ -241,7 +243,8 @@ def _lattice_rounds(
                 aggs = tuple(float(r[c]) for c in gcols)
                 if metric_fn(aggs) >= min_metric:
                     emitted.append((items, aggs))
-        annotated.unpersist()
+        if cache_annotated:
+            annotated.unpersist()
     return emitted
 
 

@@ -11,7 +11,10 @@ Planted violations (fixture contract, cf. FIXTURES.md F1/F2):
 - duplicate clip_id       id % 500 == 7  (row duplicates id-1, full payload)
 - null transcript         id % 211 == 3
 - empty transcript        id % 503 == 11
-- corrupt payload         id % 401 == 5  (garbage bytes → SNR fail)
+- corrupt payload         id % 401 == 5, OR codec == 'flac' and id % 13 == 3
+                          (garbage bytes → SNR fail; the flac-correlated
+                          plant gives the risk-ratio explanation a real
+                          attribute association to recover)
 - truncated payload       id % 601 == 9  (short RIFF → decode fail)
 - manifest orphans        id % 250 == 13 (clip missing from clip_manifest)
 - drifted partition       codec == 'aac' → dur_ms × 3 (distribution drift)
@@ -95,8 +98,12 @@ def _transcript(i: int, n_words: int) -> str | None:
     return " ".join(WORDS[int(x % len(WORDS))] for x in h)
 
 
-def _payload(i: int, sr: int, dur_ms: int, max_ms: int) -> bytes:
-    if i % 401 == 5:  # garbage: hash noise, valid length, no RIFF structure
+def _is_corrupt(i: int, codec: str) -> bool:
+    return i % 401 == 5 or (codec == "flac" and i % 13 == 3)
+
+
+def _payload(i: int, sr: int, dur_ms: int, max_ms: int, codec: str = "") -> bytes:
+    if _is_corrupt(i, codec):  # garbage: hash noise, valid length, no RIFF
         g = splitmix64(np.arange(64, dtype=np.uint64) + np.uint64(i))
         return g.astype("<u8").tobytes()
     ms = min(dur_ms, max_ms)
@@ -125,7 +132,7 @@ def generate_clips(
             p = row_params(src)
             clip_ids = [f"clip_{int(s):012d}" for s in src]
             payload = [
-                _payload(int(s), int(r.sr_hz), int(r.dur_ms), max_payload_ms)
+                _payload(int(s), int(r.sr_hz), int(r.dur_ms), max_payload_ms, str(r.codec))
                 for s, r in zip(src, p.itertuples())
             ]
             transcripts = [_transcript(int(s), int(r.n_words)) for s, r in zip(src, p.itertuples())]
@@ -187,7 +194,8 @@ def expected_violations(n: int) -> pd.DataFrame:
             rows.append((cid, "null_transcript", "transcript is null"))
         if i % 503 == 11:
             rows.append((cid, "empty_transcript", "transcript is empty"))
-        if i % 401 == 5:
+        codec = str(row_params(np.array([i], dtype=np.uint64))["codec"][0])
+        if _is_corrupt(i, codec):
             rows.append((cid, "snr", "garbage payload"))
         elif i % 601 == 9:
             rows.append((cid, "snr", "truncated payload"))

@@ -5,16 +5,17 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from macrobase_spark.operators.audio import extract_audio_features, tone_hz
-from macrobase_spark.sources.clips import generate_clips
+from macrobase_spark.sources.clips import _is_corrupt, generate_clips
 
 
 def test_dominant_freq_matches_tone(spark):
     clips = generate_clips(spark, 400)
+    codecs = {r["clip_id"]: r["codec"] for r in clips.select("clip_id", "codec").collect()}
     feats = {r["clip_id"]: r for r in extract_audio_features(clips).collect()}
     checked = 0
     for cid, r in feats.items():
         idx = int(cid.split("_")[1])
-        corrupted = idx % 401 == 5 or idx % 601 == 9
+        corrupted = _is_corrupt(idx, codecs[cid]) or idx % 601 == 9
         if corrupted:
             assert not r["decode_ok"]
             continue

@@ -33,6 +33,16 @@ def test_planted_violations_exact(spark, suite):
     assert got == exp
 
 
+def test_explanation_recovers_flac_association(suite):
+    """The codec-correlated corruption plant over-indexes flac among
+    violations; the suite's risk-ratio explanation must surface it."""
+    rows = suite.explanation.collect()
+    assert len(rows) > 0
+    top = max(rows, key=lambda r: r["risk_ratio"])
+    assert top["codec"] == "flac"
+    assert top["risk_ratio"] > 1.5
+
+
 def test_drift_detected(suite):
     drift = suite.violations.filter(F.col("check") == "drift").collect()
     assert len(drift) > 0
@@ -53,11 +63,14 @@ def test_partition_stability(spark):
 def test_snr_invariant_clean_clips(spark):
     """North-star per-row invariant: decoded PCM vs reference render has
     SNR >= 30 dB for every uncorrupted clip."""
+    from macrobase_spark.operators.audio import score_clips
+    from macrobase_spark.sources.clips import _is_corrupt
+
     clips = generate_clips(spark, 1200)
-    scored = snr_check(clips, 30.0).collect()
+    scored = score_clips(clips, 30.0).collect()
     for r in scored:
         idx = int(r["clip_id"].split("_")[1])
-        corrupted = idx % 401 == 5 or idx % 601 == 9
+        corrupted = _is_corrupt(idx, r["codec"]) or idx % 601 == 9
         if corrupted:
             assert not r["snr_pass"], r
         else:
