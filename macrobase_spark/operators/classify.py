@@ -68,15 +68,34 @@ def percentile_classify(
     include_low: bool = True,
     output_col: str = OUTLIER_COL,
     approx: bool = False,
+    method: str = "r7",
 ) -> DataFrame:
     """Flag values outside the [percentile, 100-percentile] band.
 
     ``percentile`` is in percent (reference convention: 0.5 → flag the bottom
     0.5% and top 0.5%). Cutoffs come from one agg job, broadcast as literals.
+
+    ``method``: "r7" (Hyndman-Fan 7 — Spark/DuckDB quantile_cont) or "r6"
+    (commons-math Percentile default, what the reference classifier uses:
+    position p(n+1) — reference lib/.../classify/PercentileClassifier.java
+    :27-44). R-6 is computed by evaluating the R-7 interpolator at the
+    adjusted fraction (p(n+1)-1)/(n-1), so it stays one exact-percentile
+    aggregation job.
     """
     p = percentile / 100.0
+    if method == "r6":
+        n = df.count()
+
+        def adj(q: float) -> float:
+            if n <= 1:
+                return 0.5
+            return min(max((q * (n + 1) - 1.0) / (n - 1.0), 0.0), 1.0)
+
+        qlo, qhi = adj(p), adj(1.0 - p)
+    else:
+        qlo, qhi = p, 1.0 - p
     row = df.agg(
-        _pct(metric, [p, 1.0 - p], approx).alias("cut"),
+        _pct(metric, [qlo, qhi], approx).alias("cut"),
     ).collect()[0]
     low_cut, high_cut = row["cut"][0], row["cut"][1]
     cond = F.lit(False)

@@ -93,6 +93,7 @@ def _classify(df: DataFrame, conf: dict, cube: bool) -> DataFrame:
                 percentile=float(conf.get("cutoff", 0.5)),
                 include_high=bool(conf.get("includeHi", True)),
                 include_low=bool(conf.get("includeLo", True)),
+                method="r6",  # commons-math interpolation, as the reference
             )
         if kind == "predicate":
             return predicate_classify(
