@@ -31,6 +31,7 @@ from macrobase_spark.sources.clips import generate_clips, generate_manifest  # n
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=50_000)
+    ap.add_argument("--table", default=None, help="parquet/Iceberg path of an existing clips table (overrides --n synthetic)")
     ap.add_argument("--manifest-dir", default="/tmp/mb_manifest")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
@@ -38,8 +39,13 @@ def main() -> int:
 
     spark = get_spark("mb-validate", master=args.master)
     t0 = time.time()
-    clips = generate_clips(spark, args.n)
-    ref = generate_manifest(spark, args.n)
+    if args.table:
+        clips = spark.read.parquet(args.table)
+        n_rows = clips.count()
+        ref = generate_manifest(spark, n_rows)
+    else:
+        clips = generate_clips(spark, args.n)
+        ref = generate_manifest(spark, args.n)
 
     run_manifest = RunManifest(args.manifest_dir)
     all_parts = [r["codec"] for r in clips.select("codec").distinct().collect()]

@@ -158,7 +158,7 @@ def column_stats(scored: DataFrame, partition_col: str) -> DataFrame:
         F.percentile_approx("dur_ms", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
             "dur_ms_p50_p95"
         ),
-        F.countDistinct("sr_hz").alias("n_sr_values"),
+        F.approx_count_distinct("sr_hz").alias("n_sr_values"),  # mergeable HLL sketch
         F.round(F.avg("payload_bytes"), 2).alias("avg_payload_bytes"),
     )
 
