@@ -57,15 +57,7 @@ def test_stream_matches_batch(spark, planted_stream, tmp_path):
     """Structured Streaming over the same rows produces the same windowed
     explanation as the batch plan."""
     src = str(tmp_path / "stream_src")
-    # sentinel far-future inlier advances the watermark so every data window
-    # finalizes in append mode (its own window never emits: no outliers)
-    sentinel = spark.createDataFrame(
-        [(99999, "z", 0.0, "2024-01-02 00:00:00")],
-        "id long, attr string, value double, ts_s string",
-    ).select("id", "attr", "value", F.to_timestamp("ts_s").alias("ts"))
-    planted_stream.select("id", "attr", "value", "ts").unionByName(sentinel).write.mode(
-        "overwrite"
-    ).parquet(src)
+    planted_stream.select("id", "attr", "value", "ts").write.mode("overwrite").parquet(src)
 
     stream = (
         spark.readStream.schema("id long, attr string, value double, ts timestamp")
@@ -89,6 +81,22 @@ def test_stream_matches_batch(spark, planted_stream, tmp_path):
     )
     try:
         q.processAllAvailable()
+        # sentinel far-future inliers ARRIVE AS LATER FILES so the
+        # watermark passes every data window and a subsequent micro-batch
+        # emits the finalized windows (append mode emits on the batch AFTER
+        # the watermark moves; a sentinel in the last batch would be a
+        # no-op). Sentinel windows never emit: no outliers. Retried because
+        # a multi-file append can still land every sentinel in one batch.
+        for day in range(2, 6):
+            spark.createDataFrame(
+                [(99990 + day, "z", 0.0, f"2024-01-{day:02d} 00:00:00")],
+                "id long, attr string, value double, ts_s string",
+            ).select(
+                "id", "attr", "value", F.to_timestamp("ts_s").alias("ts")
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            if spark.table("winexp").count() > 0:
+                break
         got = {
             (r["ws"], r["value"], round(r["support"], 6), round(r["global_ratio"], 6))
             for r in spark.table("winexp").collect()
