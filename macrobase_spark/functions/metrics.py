@@ -60,10 +60,15 @@ def risk_ratio_expr(
 def prevalence_ratio_expr(
     outlier_count: Column, total_count: Column, total_outliers: float, total_rows: float
 ) -> Column:
-    """odds-style ratio with the reference's +1 smoothing on zero denominators."""
+    """odds-style ratio with the reference's +1 smoothing on zero denominators.
+
+    All-outliers relation (n == o): the reference divides by zero in Java
+    double arithmetic — base rate = +Infinity, every value = 0.0."""
     o = float(total_outliers)
     if o == 0.0:
         o += 1.0
+    if float(total_rows) - o == 0.0:
+        return F.lit(0.0)
     base_rate = o / (float(total_rows) - o)
     a = outlier_count
     m = F.when(total_count == outlier_count, total_count + 1.0).otherwise(total_count)
@@ -108,6 +113,8 @@ def ratio_metric_py(name: str, a: float, m: float, o: float, n: float) -> float:
     if name == "prevalence_ratio":
         o_s = o if o != 0.0 else 1.0
         m_s = m + 1.0 if m == a else m
+        if n - o_s == 0.0:
+            return 0.0  # base rate = +inf in Java double semantics
         return (a / (m_s - a)) / (o_s / (n - o_s))
     raise ValueError(f"unknown ratio metric {name!r}")
 
@@ -132,5 +139,8 @@ def ratio_metric_sql(name: str, a: str, m: str, o: str, n: str) -> str:
     if name == "prevalence_ratio":
         m_s = f"(CASE WHEN ({m}) = ({a}) THEN ({m}) + 1.0 ELSE ({m}) END)"
         o_s = f"(CASE WHEN ({o}) = 0 THEN 1.0 ELSE ({o}) END)"
-        return f"((({a}) / ({m_s} - ({a}))) / ({o_s} / (({n}) - {o_s})))"
+        return (
+            f"(CASE WHEN ({n}) - {o_s} = 0 THEN 0.0 "
+            f"ELSE (({a}) / ({m_s} - ({a}))) / ({o_s} / (({n}) - {o_s})) END)"
+        )
     raise ValueError(f"unknown ratio metric {name!r}")

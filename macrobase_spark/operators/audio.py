@@ -107,9 +107,15 @@ def render_reference(clip_index: int, sr: int, n_samples: int) -> np.ndarray:
 # per-worker memo of reference renders: f0 takes ~400 distinct values and
 # (sr, n_samples) a handful, so a corpus of ANY size needs only ~2000
 # distinct reference signals — rendering each once removes nearly all sin()
-# work from the scoring scan. Bounded so adversarial shapes can't grow it.
+# work from the scoring scan. Bounded by total cached SAMPLES (bytes), not
+# entry count: long clips (60 s @ 48 kHz ≈ 23 MB of float64 per render)
+# would otherwise blow executor memory long before a count cap engages;
+# oversized renders also amortize their own sin() cost, so skip caching
+# them entirely.
 _REF_CACHE: dict = {}
-_REF_CACHE_MAX = 4096
+_REF_CACHE_MAX_SAMPLES = 32_000_000  # ≈ 256 MB of float64 per worker
+_REF_CACHE_ENTRY_MAX = 1_000_000  # never cache a render above ~8 MB
+_REF_CACHE_SAMPLES = [0]
 
 
 def _ref_matrix(sr: int, ns: int, f0s: np.ndarray) -> np.ndarray:
@@ -122,8 +128,12 @@ def _ref_matrix(sr: int, ns: int, f0s: np.ndarray) -> np.ndarray:
             if t is None:
                 t = np.arange(ns, dtype=np.float64) / sr
             r = 0.8 * np.sin(2 * np.pi * float(f0) * t)
-            if len(_REF_CACHE) < _REF_CACHE_MAX:
+            if (
+                ns <= _REF_CACHE_ENTRY_MAX
+                and _REF_CACHE_SAMPLES[0] + ns <= _REF_CACHE_MAX_SAMPLES
+            ):
                 _REF_CACHE[key] = r
+                _REF_CACHE_SAMPLES[0] += ns
         out[k] = r
     return out
 

@@ -50,6 +50,29 @@ class SuiteConfig:
     drift_mad_threshold: float = 3.0
     explain_min_support: float = 0.05
     explain_min_ratio: float = 1.5
+    # Materialization strategy for the scored relation:
+    #   "local"      localCheckpoint — fastest on a single JVM (bench default),
+    #                but blocks are non-replicated and lineage is truncated, so
+    #                an executor loss kills the run. Single-JVM / bench only.
+    #   "persist"    MEMORY_AND_DISK_2 (replicated) + lineage kept — survives
+    #                one executor loss; use on clusters with dynamic allocation.
+    #   "checkpoint" reliable checkpoint to spark.checkpoint.dir — survives any
+    #                executor churn; use for long multi-stage cluster runs.
+    cache: str = "local"
+
+
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+        df.count()  # eager
+        return df
+    if mode == "checkpoint":
+        return df.checkpoint(eager=True)
+    raise ValueError(f"unknown cache mode {mode!r}; one of local/persist/checkpoint")
 
 
 @dataclass
@@ -99,55 +122,78 @@ def snr_violations(scored: DataFrame) -> DataFrame:
     )
 
 
-def drift_check(
-    scored: DataFrame, metric: str, partition_cols: list[str], mad_threshold: float
-) -> DataFrame:
-    """Distribution drift: per-group median of `metric`, then a MAD robust
+def drift_group_rows(
+    scored: DataFrame, metric: str, partition_cols: list[str], approx: bool = True
+) -> list:
+    """Per-group drift scores: group median of `metric`, then a MAD robust
     z-score ACROSS groups (reference MAD semantics applied at the group
     grain, cf. alexp/.../outlier/MAD.java:27-91 + MetricBucketTransformer).
-    Emits one violation row per drifted group (clip_id = NULL).
 
-    ONE Spark job computes the per-group medians (mergeable sketch); the MAD
-    across groups runs on the driver — the group table is bounded by the
-    attribute-combination cardinality, never by row count.
+    ONE Spark job computes the per-group medians (mergeable sketch when
+    approx, exact R-7 percentile otherwise — the oracle-certified flavor);
+    the MAD across groups runs on the driver — the group table is bounded by
+    the attribute-combination cardinality, never by row count.
+
+    Returns [(group_values..., med, score)] driver-side tuples.
     """
     import numpy as np
 
+    med_agg = (
+        F.percentile_approx(metric, 0.5, 10000) if approx else F.percentile(metric, 0.5)
+    )
     rows = (
         scored.groupBy(*partition_cols)
-        .agg(
-            F.percentile_approx(metric, 0.5, 10000).alias("med"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        .agg(med_agg.alias("med"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    spark = scored.sparkSession
-    schema = "clip_id string, check string, detail string"
     if not rows:
-        return spark.createDataFrame([], schema)
+        return []
     meds = np.array([float(r["med"]) for r in rows])
     median = float(np.percentile(meds, 50))
     resid = np.abs(meds - median)
     mad = float(np.percentile(resid, 50))
     scale = 1.4826 * mad if mad > 0 else (1.253314 * resid.mean() if resid.mean() else 1.0)
     scores = resid / scale
+    return [
+        (*[r[c] for c in partition_cols], float(r["med"]), float(s))
+        for r, s in zip(rows, scores)
+    ]
+
+
+def drift_check(
+    scored: DataFrame, metric: str, partition_cols: list[str], mad_threshold: float
+) -> DataFrame:
+    """Drift scores rendered as violation rows (clip_id = NULL, one per
+    drifted group)."""
+    spark = scored.sparkSession
+    schema = "clip_id string, check string, detail string"
     out = [
         (
             None,
             "drift",
             f"drifted {metric} in ("
-            + ",".join(str(r[c]) for c in partition_cols)
-            + f"): med={round(float(r['med']), 1)} score={round(float(s), 2)}",
+            + ",".join(str(v) for v in row[:-2])
+            + f"): med={round(row[-2], 1)} score={round(row[-1], 2)}",
         )
-        for r, s in zip(rows, scores)
-        if s > mad_threshold
+        for row in drift_group_rows(scored, metric, partition_cols)
+        if row[-1] > mad_threshold
     ]
     return spark.createDataFrame(out, schema)
 
 
-def column_stats(scored: DataFrame, partition_col: str) -> DataFrame:
-    """One-pass per-partition profile; quantiles via the mergeable
-    percentile_approx sketch (cluster-safe)."""
+def column_stats(scored: DataFrame, partition_col: str, approx: bool = True) -> DataFrame:
+    """One-pass per-partition profile. ``approx=True`` (production): quantiles
+    via the mergeable percentile_approx sketch, distinct counts via HLL —
+    both cluster-safe single-pass sketches. ``approx=False``: exact R-7
+    percentile + exact distinct, bit-matching the DuckDB oracle."""
+    if approx:
+        p50 = F.percentile_approx("dur_ms", F.lit(0.5), 10000)
+        p95 = F.percentile_approx("dur_ms", F.lit(0.95), 10000)
+        nsr = F.approx_count_distinct("sr_hz")  # mergeable HLL sketch
+    else:
+        p50 = F.percentile("dur_ms", F.lit(0.5))
+        p95 = F.percentile("dur_ms", F.lit(0.95))
+        nsr = F.countDistinct("sr_hz")
     return scored.groupBy(partition_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg(F.col("transcript_null").cast("double")), 6).alias(
@@ -155,10 +201,9 @@ def column_stats(scored: DataFrame, partition_col: str) -> DataFrame:
         ),
         F.min("dur_ms").alias("min_dur_ms"),
         F.max("dur_ms").alias("max_dur_ms"),
-        F.percentile_approx("dur_ms", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
-            "dur_ms_p50_p95"
-        ),
-        F.approx_count_distinct("sr_hz").alias("n_sr_values"),  # mergeable HLL sketch
+        F.round(p50.cast("double"), 6).alias("dur_ms_p50"),
+        F.round(p95.cast("double"), 6).alias("dur_ms_p95"),
+        nsr.alias("n_sr_values"),
         F.round(F.avg("payload_bytes"), 2).alias("avg_payload_bytes"),
     )
 
@@ -168,11 +213,11 @@ def run_suite(
 ) -> SuiteResult:
     cfg = cfg or SuiteConfig()
     # THE scan: bytes are read once, decode+SNR happen here, and only the
-    # narrow scored projection is materialized for the rest of the suite.
-    # localCheckpoint stores the row RDD directly (and truncates lineage) —
+    # narrow scored projection is materialized for the rest of the suite
+    # (strategy per cfg.cache — localCheckpoint stores the row RDD directly,
     # measurably cheaper than InMemoryRelation's compressed columnar cache
-    # for a relation this narrow, and every reuse skips the Python scan.
-    scored = score_clips(clips, cfg.min_snr_db).localCheckpoint(eager=True)
+    # for a relation this narrow, and every reuse skips the Python scan).
+    scored = _materialize(score_clips(clips, cfg.min_snr_db), cfg.cache)
     return _suite_from_scored(scored, manifest, cfg)
 
 
@@ -190,49 +235,53 @@ def run_suite_files(
     from macrobase_spark.operators.audio import score_clips_from_files
 
     cfg = cfg or SuiteConfig()
-    scored = score_clips_from_files(
-        spark, table_path, cfg.min_snr_db, batch_rows
-    ).localCheckpoint(eager=True)
+    scored = _materialize(
+        score_clips_from_files(spark, table_path, cfg.min_snr_db, batch_rows), cfg.cache
+    )
     return _suite_from_scored(scored, manifest, cfg)
 
 
-def _suite_from_scored(
-    scored: DataFrame, manifest: DataFrame, cfg: SuiteConfig
-) -> SuiteResult:
-    violations = (
+def row_violations(scored: DataFrame, manifest: DataFrame) -> DataFrame:
+    """All row-level (clip_id-attributed) violations: uniqueness, transcript
+    nulls/empties, referential integrity, SNR decode failures."""
+    return (
         uniqueness_check(scored)
         .unionByName(null_checks(scored))
         .unionByName(ref_integrity_check(scored, manifest))
         .unionByName(snr_violations(scored))
-        .unionByName(
-            drift_check(scored, "dur_ms", [cfg.partition_col, "sr_hz"], cfg.drift_mad_threshold)
-        )
-        .localCheckpoint(eager=True)
     )
 
-    # per-partition verdicts: attribute row-level violations back to their
-    # partition via the scored rows (broadcast the violation keys)
-    row_viol = violations.filter(F.col("clip_id").isNotNull())
+
+def verdicts_from_violations(
+    scored: DataFrame, row_viol: DataFrame, partition_col: str
+) -> DataFrame:
+    """Per-partition verdicts: attribute row-level violations back to their
+    partition via the scored rows."""
     per_part = (
-        scored.select("clip_id", cfg.partition_col)
+        scored.select("clip_id", partition_col)
         .join(row_viol, "clip_id")
-        .groupBy(cfg.partition_col, "check")
+        .groupBy(partition_col, "check")
         .agg(F.count(F.lit(1)).alias("n_violations"))
     )
-    part_sizes = scored.groupBy(cfg.partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
-    verdicts = (
-        part_sizes.join(per_part, cfg.partition_col, "left")
+    part_sizes = scored.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        part_sizes.join(per_part, partition_col, "left")
         .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
         .withColumn("passed", F.col("n_violations") == 0)
     )
 
-    # classify-then-explain: which (codec, sr_hz) combos over-index in violations
+
+def explain_from_violations(
+    scored: DataFrame, row_viol: DataFrame, cfg: SuiteConfig
+) -> DataFrame:
+    """classify-then-explain: which (codec, sr_hz) combos over-index in
+    violations — MacroBase risk-ratio APriori over the narrow scored cache."""
     flagged = scored.join(
         row_viol.select("clip_id").distinct().withColumn("_OUTLIER", F.lit(1.0)),
         "clip_id",
         "left",
     ).withColumn("_OUTLIER", F.coalesce("_OUTLIER", F.lit(0.0)))
-    explanation = explain(
+    return explain(
         flagged.withColumn("sr_hz_s", F.col("sr_hz").cast("string")),
         ExplainParams(
             attributes=[cfg.partition_col, "sr_hz_s"],
@@ -244,5 +293,19 @@ def _suite_from_scored(
         ),
     )
 
+
+def _suite_from_scored(
+    scored: DataFrame, manifest: DataFrame, cfg: SuiteConfig
+) -> SuiteResult:
+    violations = (
+        row_violations(scored, manifest)
+        .unionByName(
+            drift_check(scored, "dur_ms", [cfg.partition_col, "sr_hz"], cfg.drift_mad_threshold)
+        )
+        .localCheckpoint(eager=True)
+    )
+    row_viol = violations.filter(F.col("clip_id").isNotNull())
+    verdicts = verdicts_from_violations(scored, row_viol, cfg.partition_col)
+    explanation = explain_from_violations(scored, row_viol, cfg)
     stats = column_stats(scored, cfg.partition_col)
     return SuiteResult(violations, verdicts, explanation, stats, scored)

@@ -167,25 +167,19 @@ def arithmetic_cube_classify(
     """Cube classifier: weighted-percentile cutoffs over group means, then a
     per-group estimated outlier count = Normal(mean, std) tail mass × count.
 
-    The weighted percentile is computed distributively: sort groups by mean,
-    cumulative-sum the counts with a window, pick the value where the
-    cumulative weight crosses p — equivalent to the reference's
-    WeightedPercentile (lib/.../stats/WeightedPercentile.java:11-56) without
-    materializing repeated values.
+    The weighted percentile is computed distributively (bucketed two-phase
+    cumulative sum — see _weighted_percentile_cutoffs), equivalent to the
+    reference's WeightedPercentile (lib/.../stats/WeightedPercentile.java
+    :11-56) without materializing repeated values and without an
+    unpartitioned global-sort window.
     """
-    from pyspark.sql import Window
-
-    total = df.agg(F.sum(count_col).alias("n")).collect()[0]["n"]
-    w = Window.orderBy(mean_col).rowsBetween(Window.unboundedPreceding, 0)
-    cum = df.select(mean_col, count_col).withColumn("_cw", F.sum(count_col).over(w))
     p = percentile / 100.0
-
-    def cutoff(frac: float) -> float:
-        r = cum.filter(F.col("_cw") >= frac * total).orderBy(mean_col).limit(1).collect()
-        return float(r[0][mean_col])
-
-    low_cut = cutoff(p)
-    high_cut = cutoff(1.0 - p)
+    low_cut, high_cut = _weighted_percentile_cutoffs(
+        df.select(F.col(mean_col).alias("_v"), F.col(count_col).alias("_w")),
+        "_v",
+        "_w",
+        [p, 1.0 - p],
+    )
 
     mean, std, cnt = F.col(mean_col), F.col(std_col), F.col(count_col)
     # Normal CDF via erf — exact, JVM-side (reference interpolates a lookup
@@ -216,25 +210,99 @@ def _erf(z: Column) -> Column:
     return sign * (1.0 - poly * F.exp(-x * x))
 
 
+def _weighted_percentile_cutoffs(
+    df: DataFrame, value_col: str, weight_col, fracs: list[float], n_buckets: int = 64
+) -> list[float]:
+    """Distributed weighted percentiles — reference WeightedPercentile
+    semantics (lib/.../classify/stats/WeightedPercentile.java:11-56): sort by
+    value, cumulative-sum the weights, return the first value whose
+    cumulative weight crosses frac × total, for each frac.
+
+    NO unpartitioned window (a global ``Window.orderBy`` pulls every row into
+    one task). Instead, three bounded jobs:
+
+    1. collapse to distinct values (map-side combine) and compute ≤
+       n_buckets-1 approx-quantile bucket boundaries — broadcast as literals
+       in a codegen'd when-chain;
+    2. per-bucket weight totals (≤ n_buckets rows to the driver) give each
+       bucket's cumulative offset, locating the crossing bucket per frac;
+    3. ONE window PARTITIONED by bucket computes local cumulative sums in
+       just the crossing buckets — max partition ≈ distinct_values/n_buckets,
+       and all fracs resolve in a single aggregation job.
+    """
+    agg = (
+        df.groupBy(F.col(value_col).alias("_v"))
+        .agg(F.sum(weight_col).alias("_w"))
+        .persist()
+    )
+    try:
+        head = agg.agg(
+            F.sum("_w").alias("_t"),
+            F.max("_v").alias("_max"),
+            F.percentile_approx(
+                "_v", [i / n_buckets for i in range(1, n_buckets)], 10000
+            ).alias("_b"),
+        ).collect()[0]
+        if head["_t"] is None:
+            raise ValueError("weighted percentile over an empty relation")
+        total, vmax = float(head["_t"]), float(head["_max"])
+        bnds = sorted({float(b) for b in (head["_b"] or [])})
+        bexpr = F.lit(len(bnds))
+        for i in range(len(bnds) - 1, -1, -1):
+            bexpr = F.when(F.col("_v") <= F.lit(bnds[i]), F.lit(i)).otherwise(bexpr)
+        b_agg = agg.withColumn("_bk", bexpr)
+        per_b = {
+            int(r["_bk"]): float(r["_s"])
+            for r in b_agg.groupBy("_bk").agg(F.sum("_w").alias("_s")).collect()
+        }
+        # walk buckets in order; assign each frac its crossing bucket + offset
+        order = sorted(range(len(fracs)), key=lambda i: fracs[i])
+        chosen: list[tuple[int, int, float, float]] = []  # (frac_idx, bucket, target, offset)
+        cum, ri = 0.0, 0
+        for b in range(len(bnds) + 1):
+            w = per_b.get(b, 0.0)
+            while ri < len(order) and cum + w >= fracs[order[ri]] * total:
+                chosen.append((order[ri], b, fracs[order[ri]] * total, cum))
+                ri += 1
+            cum += w
+        out = [vmax] * len(fracs)  # fracs beyond total weight → max value
+        if chosen:
+            from pyspark.sql import Window
+
+            win = (
+                Window.partitionBy("_bk")
+                .orderBy("_v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            cumdf = b_agg.filter(
+                F.col("_bk").isin([b for _, b, _, _ in chosen])
+            ).withColumn("_cw", F.sum("_w").over(win))
+            sel = []
+            for k, (fi, b, target, offset) in enumerate(chosen):
+                hit = F.min(
+                    F.when(
+                        (F.col("_bk") == b) & (F.col("_cw") >= F.lit(target - offset)),
+                        F.col("_v"),
+                    )
+                ).alias(f"h{k}")
+                # fp fallback: per-bucket sums may differ from the driver's
+                # offset arithmetic in the last ulp — the bucket max is then
+                # the crossing value by construction
+                fb = F.max(F.when(F.col("_bk") == b, F.col("_v"))).alias(f"m{k}")
+                sel.extend([hit, fb])
+            row = cumdf.agg(*sel).collect()[0]
+            for k, (fi, _, _, _) in enumerate(chosen):
+                v = row[f"h{k}"] if row[f"h{k}"] is not None else row[f"m{k}"]
+                out[fi] = float(v)
+        return out
+    finally:
+        agg.unpersist()
+
+
 def _weighted_percentile_cutoff(
     df: DataFrame, value_col: str, weight_col, frac: float
 ) -> float:
-    """Distributed weighted percentile: sort by value, cumulative-sum the
-    weights with a window, take the first value whose cumulative weight
-    crosses frac — reference WeightedPercentile semantics
-    (lib/.../classify/stats/WeightedPercentile.java:11-56) without
-    materializing repeated values."""
-    from pyspark.sql import Window
-
-    total = df.agg(F.sum(weight_col).alias("t")).collect()[0]["t"]
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = df.select(F.col(value_col).alias("_v"), F.col(weight_col).alias("_w")).withColumn(
-        "_cw", F.sum("_w").over(w)
-    )
-    r = cum.filter(F.col("_cw") >= frac * total).orderBy("_v").limit(1).collect()
-    if not r:
-        r = cum.orderBy(F.desc("_v")).limit(1).collect()
-    return float(r[0]["_v"])
+    return _weighted_percentile_cutoffs(df, value_col, weight_col, [frac])[0]
 
 
 def quantile_cube_classify(
@@ -283,8 +351,7 @@ def quantile_cube_classify(
     ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
 
     p = percentile / 100.0
-    low_cut = _weighted_percentile_cutoff(points, "v", "w", p)
-    high_cut = _weighted_percentile_cutoff(points, "v", "w", 1.0 - p)
+    low_cut, high_cut = _weighted_percentile_cutoffs(points, "v", "w", [p, 1.0 - p])
 
     def cdf_expr(cut: float) -> Column:
         """P(X <= cut) under the group's piecewise-linear quantile CDF."""

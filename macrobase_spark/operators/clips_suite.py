@@ -1,20 +1,35 @@
-"""Registered queries over the synthetic clips table (rows-only driver
-checks: the clips table is synthesized, so DuckDB has no view of it; their
-correctness gate is tests/test_clips.py's exact planted-violation recovery).
+"""Registered queries over the synthetic clips table.
+
+Oracle strategy (VERDICT r1 item 3): the decode/SNR kernel itself is not
+SQL-expressible, so the scored relation (audio.SCORED_SCHEMA + snr_pass) is
+materialized to parquet ONCE per size; every RELATIONAL check — violations,
+verdicts, drift, column stats, risk-ratio explanation — is then a DuckDB SQL
+query over the same files, turning those rows fully oracle-green. The kernel
+itself stays gated by tests/test_clips.py's exact planted-violation recovery
+(fixture ground truth is symbolic, sources/clips.expected_violations).
 
 The clip count scales with the sf encoded in sf_dir (sf0.01 → 10k clips),
-so the same entries serve the correctness run and the bench run.
+so the same entries serve the correctness run and the bench run. The oracle
+SQL strings are fixed at the correctness scale (sf0.01 → n=10000).
 """
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import functions as F
 
-import os
-
-from macrobase_spark.operators.checks import SuiteConfig, run_suite
+from macrobase_spark.functions.metrics import ratio_metric_sql
+from macrobase_spark.operators.checks import (
+    SuiteConfig,
+    column_stats,
+    drift_group_rows,
+    explain_from_violations,
+    row_violations,
+    run_suite,
+    verdicts_from_violations,
+)
 from macrobase_spark.queries import register
 from macrobase_spark.sources.clips import generate_manifest, write_clips_table
 
@@ -37,29 +52,171 @@ def clips_table(spark, sf_dir: str):
     return spark.read.parquet(path)
 
 
-@register("clips_validation_suite")  # rows-only
+def scored_parquet(spark, sf_dir: str) -> str:
+    """Materialize the narrow scored relation (ONE decode pass over the
+    clips table) to parquet; DuckDB oracles read the very same files."""
+    from macrobase_spark.operators.audio import score_clips
+
+    n = clips_n(sf_dir)
+    path = f"/tmp/mb_scored_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        score_clips(clips_table(spark, sf_dir), 30.0).write.mode("overwrite").parquet(path)
+    return path
+
+
+def manifest_parquet(spark, sf_dir: str) -> str:
+    n = clips_n(sf_dir)
+    path = f"/tmp/mb_manifest_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        generate_manifest(spark, n).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _scored_df(spark, sf_dir: str):
+    return spark.read.parquet(scored_parquet(spark, sf_dir))
+
+
+def _manifest_df(spark, sf_dir: str):
+    return spark.read.parquet(manifest_parquet(spark, sf_dir))
+
+
+# correctness gate runs at sf0.01 → n=10000; the oracle SQL is fixed there
+_S = "read_parquet('/tmp/mb_scored_v1_10000.parquet/*.parquet')"
+_M = "read_parquet('/tmp/mb_manifest_v1_10000.parquet/*.parquet')"
+
+# row-level violation set as SQL (mirrors checks.row_violations exactly):
+# uniqueness / null / empty transcript / referential orphan / snr-decode
+_VIOL_ROWS_SQL = f"""
+      SELECT clip_id, 'uniqueness' AS "check"
+        FROM (SELECT clip_id FROM s GROUP BY clip_id HAVING count(*) > 1)
+      UNION ALL
+      SELECT clip_id, 'null_transcript' FROM s WHERE transcript_null
+      UNION ALL
+      SELECT clip_id, 'empty_transcript' FROM s WHERE transcript_empty
+      UNION ALL
+      SELECT clip_id, 'ref_integrity' FROM s
+       WHERE clip_id NOT IN (SELECT clip_id FROM {_M})
+      UNION ALL
+      SELECT clip_id, 'snr' FROM s WHERE NOT snr_pass
+"""
+
+
+@register("clips_validation_suite")  # rows-only: full suite incl. drift strings
 def clips_validation_suite_q(spark, sf_dir):
-    """Full check suite; returns the violation rows (the engine's primary
-    output relation)."""
+    """Full check suite end-to-end (the engine's primary output relation);
+    its relational components are each oracle-certified by the queries
+    below, and the planted-violation ground truth is asserted exactly in
+    tests/test_clips.py."""
     n = clips_n(sf_dir)
     res = run_suite(clips_table(spark, sf_dir), generate_manifest(spark, n), SuiteConfig())
     return res.violations
 
 
-@register("clips_partition_verdicts")  # rows-only
+@register(
+    "clips_row_violations",
+    f"""
+    WITH s AS (SELECT * FROM {_S})
+    {_VIOL_ROWS_SQL}
+    """,
+)
+def clips_row_violations_q(spark, sf_dir):
+    """Every clip_id-attributed violation row (uniqueness, transcript nulls,
+    referential, SNR) — oracle-certified over the scored parquet."""
+    scored = _scored_df(spark, sf_dir)
+    return row_violations(scored, _manifest_df(spark, sf_dir)).select("clip_id", "check")
+
+
+@register(
+    "clips_partition_verdicts",
+    f"""
+    WITH s AS (SELECT * FROM {_S}),
+    v AS ({_VIOL_ROWS_SQL}),
+    per AS (SELECT s.codec, v."check", count(*) AS n_violations
+            FROM s JOIN v USING (clip_id) GROUP BY 1, 2),
+    sizes AS (SELECT codec, count(*) AS n_rows FROM s GROUP BY 1)
+    SELECT sizes.codec, sizes.n_rows, per."check",
+           coalesce(per.n_violations, 0) AS n_violations,
+           coalesce(per.n_violations, 0) = 0 AS passed
+    FROM sizes LEFT JOIN per ON sizes.codec = per.codec
+    """,
+)
 def clips_partition_verdicts_q(spark, sf_dir):
-    n = clips_n(sf_dir)
-    res = run_suite(clips_table(spark, sf_dir), generate_manifest(spark, n), SuiteConfig())
-    return res.verdicts
+    scored = _scored_df(spark, sf_dir)
+    viol = row_violations(scored, _manifest_df(spark, sf_dir))
+    return verdicts_from_violations(scored, viol, "codec")
 
 
-@register("clips_snr_stats")  # rows-only
+@register(
+    "clips_column_stats",
+    f"""
+    SELECT codec,
+           count(*) AS n_rows,
+           round(avg(CASE WHEN transcript_null THEN 1.0 ELSE 0.0 END), 6)
+             AS transcript_null_rate,
+           min(dur_ms) AS min_dur_ms,
+           max(dur_ms) AS max_dur_ms,
+           round(CAST(quantile_cont(dur_ms, 0.5) AS DOUBLE), 6)  AS dur_ms_p50,
+           round(CAST(quantile_cont(dur_ms, 0.95) AS DOUBLE), 6) AS dur_ms_p95,
+           count(DISTINCT sr_hz) AS n_sr_values,
+           round(avg(payload_bytes), 2) AS avg_payload_bytes
+    FROM {_S}
+    GROUP BY codec
+    """,
+)
+def clips_column_stats_q(spark, sf_dir):
+    """Per-partition column profile — exact-percentile flavor to bit-match
+    quantile_cont; production (run_suite) uses the approx=True mergeable
+    sketches, asserted ≈-equal in tests/test_clips.py."""
+    return column_stats(_scored_df(spark, sf_dir), "codec", approx=False)
+
+
+@register(
+    "clips_drift_groups",
+    f"""
+    WITH s AS (SELECT * FROM {_S}),
+    g AS (SELECT codec, sr_hz, CAST(quantile_cont(dur_ms, 0.5) AS DOUBLE) AS med
+          FROM s GROUP BY 1, 2),
+    c AS (SELECT CAST(quantile_cont(med, 0.5) AS DOUBLE) AS m FROM g),
+    r AS (SELECT codec, sr_hz, med, abs(med - m) AS resid FROM g, c),
+    sc AS (SELECT CAST(quantile_cont(resid, 0.5) AS DOUBLE) AS mad,
+                  avg(resid) AS meanad FROM r)
+    SELECT codec, sr_hz,
+           round(med, 6) AS med,
+           round(resid / (CASE WHEN mad > 0 THEN 1.4826 * mad
+                               WHEN meanad > 0 THEN 1.253314 * meanad
+                               ELSE 1.0 END), 6) AS drift_score
+    FROM r, sc
+    """,
+)
+def clips_drift_groups_q(spark, sf_dir):
+    """The drift check's numeric relation (group medians + cross-group MAD
+    robust z-scores), exact-percentile flavor for the oracle."""
+    rows = drift_group_rows(_scored_df(spark, sf_dir), "dur_ms", ["codec", "sr_hz"], approx=False)
+    return spark.createDataFrame(
+        rows, "codec string, sr_hz int, med double, drift_score double"
+    ).select(
+        "codec",
+        "sr_hz",
+        F.round("med", 6).alias("med"),
+        F.round("drift_score", 6).alias("drift_score"),
+    )
+
+
+@register(
+    "clips_snr_stats",
+    f"""
+    SELECT codec,
+           count(*) AS n,
+           CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           CAST(sum(CASE WHEN snr_pass THEN 1 ELSE 0 END) AS BIGINT)  AS n_snr_pass,
+           round(avg(CASE WHEN snr_pass THEN snr_db END), 2) AS avg_snr_db
+    FROM {_S}
+    GROUP BY codec
+    """,
+)
 def clips_snr_stats_q(spark, sf_dir):
-    """Decoded-PCM SNR distribution per codec (vectorized pandas UDF path)."""
-    from macrobase_spark.operators.audio import score_clips
-
-    n = clips_n(sf_dir)
-    scored = score_clips(clips_table(spark, sf_dir), 30.0)
+    """Decoded-PCM SNR distribution per codec over the scored relation."""
+    scored = _scored_df(spark, sf_dir)
     return scored.groupBy("codec").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
@@ -68,7 +225,72 @@ def clips_snr_stats_q(spark, sf_dir):
     )
 
 
-@register("clips_audio_features")  # rows-only
+@register(
+    "clips_explain_violations",
+    f"""
+    WITH s0 AS (SELECT * FROM {_S}),
+    s AS (SELECT *, CAST(sr_hz AS VARCHAR) AS sr_hz_s FROM s0),
+    v AS (SELECT DISTINCT clip_id FROM (
+      SELECT clip_id FROM s GROUP BY clip_id HAVING count(*) > 1
+      UNION ALL SELECT clip_id FROM s WHERE transcript_null
+      UNION ALL SELECT clip_id FROM s WHERE transcript_empty
+      UNION ALL SELECT clip_id FROM s
+        WHERE clip_id NOT IN (SELECT clip_id FROM {_M})
+      UNION ALL SELECT clip_id FROM s WHERE NOT snr_pass)),
+    t AS (SELECT codec, sr_hz_s,
+                 CASE WHEN clip_id IN (SELECT clip_id FROM v)
+                      THEN 1.0 ELSE 0.0 END AS o
+          FROM s),
+    g AS (SELECT CAST(sum(o) AS DOUBLE) AS O, CAST(count(*) AS DOUBLE) AS N FROM t),
+    agg AS (SELECT codec, sr_hz_s,
+                   CAST(sum(o) AS DOUBLE) AS a, CAST(count(*) AS DOUBLE) AS m
+            FROM t GROUP BY GROUPING SETS ((codec), (sr_hz_s), (codec, sr_hz_s)))
+    SELECT codec, sr_hz_s,
+           round(a / O, 6) AS support,
+           round({ratio_metric_sql("risk_ratio", "a", "m", "O", "N")}, 6) AS risk_ratio,
+           a AS outlier_count, m AS total_count
+    FROM agg, g
+    WHERE a >= 0.05 * O
+      AND {ratio_metric_sql("risk_ratio", "a", "m", "O", "N")} >= 1.5
+    """,
+)
+def clips_explain_violations_q(spark, sf_dir):
+    """Risk-ratio attribute explanation of violation rows over
+    (codec, sr_hz) — MacroBase classify-then-explain on the audio table,
+    oracle = support+ratio-filtered grouping-sets cube over the scored
+    parquet (prune_containment=False renders the full filtered lattice)."""
+    scored = _scored_df(spark, sf_dir)
+    viol = row_violations(scored, _manifest_df(spark, sf_dir))
+    cfg = SuiteConfig()
+    from macrobase_spark.operators.explain import ExplainParams, explain
+
+    flagged = scored.join(
+        viol.select("clip_id").distinct().withColumn("_OUTLIER", F.lit(1.0)),
+        "clip_id",
+        "left",
+    ).withColumn("_OUTLIER", F.coalesce("_OUTLIER", F.lit(0.0)))
+    res = explain(
+        flagged.withColumn("sr_hz_s", F.col("sr_hz").cast("string")),
+        ExplainParams(
+            attributes=["codec", "sr_hz_s"],
+            min_support=cfg.explain_min_support,
+            min_ratio_metric=cfg.explain_min_ratio,
+            ratio_metric="risk_ratio",
+            max_order=2,
+            prune_containment=False,
+        ),
+    )
+    return res.select(
+        "codec",
+        "sr_hz_s",
+        F.round("support", 6).alias("support"),
+        F.round("risk_ratio", 6).alias("risk_ratio"),
+        "outlier_count",
+        "total_count",
+    )
+
+
+@register("clips_audio_features")  # rows-only: the DSP kernel is not SQL-expressible
 def clips_audio_features_q(spark, sf_dir):
     """Per-codec DSP feature profile: dominant frequency should match the
     deterministic tone for clean clips; clipping/zero-cross distributions
@@ -86,19 +308,3 @@ def clips_audio_features_q(spark, sf_dir):
         F.round(F.avg("dominant_freq_hz"), 1).alias("avg_dom_freq"),
         F.round(F.avg("clipping_ratio"), 6).alias("avg_clip_ratio"),
     )
-
-
-@register("clips_explain_violations")  # rows-only
-def clips_explain_violations_q(spark, sf_dir):
-    """Risk-ratio attribute explanation of violation rows over
-    (codec, sr_hz) — MacroBase classify-then-explain on the audio table."""
-    n = clips_n(sf_dir)
-    res = run_suite(clips_table(spark, sf_dir), generate_manifest(spark, n), SuiteConfig())
-    return res.explanation
-
-
-@register("clips_column_stats")  # rows-only
-def clips_column_stats_q(spark, sf_dir):
-    n = clips_n(sf_dir)
-    res = run_suite(clips_table(spark, sf_dir), generate_manifest(spark, n), SuiteConfig())
-    return res.column_stats

@@ -66,10 +66,18 @@ def fpgrowth_explain(df: DataFrame, params: ExplainParams) -> DataFrame:
         )
     )
     tx = base.filter(F.col("_o") > 0).select(items.alias("items"))
-    # discovery support: exact for raw 0/1 rows; for weighted cube rows a
-    # transaction under-represents its weight, so discover at half support
-    # and let the authoritative weighted re-check below prune
-    disc_sup = p.min_support if p.count_col is None else max(p.min_support / 2, 1e-3)
+    # discovery support: exact for raw 0/1 rows. For weighted cube rows an
+    # itemset's weighted support can exceed min_support while appearing in
+    # arbitrarily few TRANSACTIONS (one heavy cube row), so no transaction-
+    # fraction threshold above 1/n_tx is sound — mine at 1/n_tx, which
+    # enumerates every itemset present in any outlier transaction (cube
+    # relations are group-grained, so n_tx is bounded by cube cardinality),
+    # and let the authoritative weighted re-check below prune.
+    if p.count_col is None:
+        disc_sup = p.min_support
+    else:
+        n_tx = tx.count()
+        disc_sup = 0.5 / max(n_tx, 1)
     model = FPGrowth(itemsCol="items", minSupport=disc_sup, minConfidence=0.5).fit(tx)
     freq = [
         (tuple(sorted(r["items"])), float(r["freq"]))
