@@ -41,7 +41,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def run_child(cores: int, n: int, table: str) -> dict:
+def run_child(cores: int, n: int, table: str, scan: str) -> dict:
     env = dict(os.environ)
     env.pop("SPARK_GRAFT_CPUS", None)
     out = subprocess.run(
@@ -55,6 +55,8 @@ def run_child(cores: int, n: int, table: str) -> dict:
             str(n),
             "--table",
             table,
+            "--scan",
+            scan,
         ],
         capture_output=True,
         text=True,
@@ -68,9 +70,9 @@ def run_child(cores: int, n: int, table: str) -> dict:
     return json.loads(last)
 
 
-def child_main(cores: int, n: int, table: str) -> int:
+def child_main(cores: int, n: int, table: str, scan: str) -> int:
     import os
-    from macrobase_spark.operators.checks import SuiteConfig, run_suite
+    from macrobase_spark.operators.checks import SuiteConfig, run_suite, run_suite_files
     from macrobase_spark.session import get_spark
     from macrobase_spark.sources.clips import generate_clips, generate_manifest
 
@@ -78,11 +80,17 @@ def child_main(cores: int, n: int, table: str) -> int:
         f"mb-scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
 
-    def suite_pass(clips_df, num: int) -> dict:
+    def suite_pass(clips_src, num: int) -> dict:
+        """clips_src: a DataFrame (JVM scan path) or a parquet dir path
+        (pyarrow-native scan path — the bytes column never enters the JVM,
+        see audio.score_clips_from_files)."""
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.time()
-        res = run_suite(clips_df, generate_manifest(spark, num), SuiteConfig())
+        if isinstance(clips_src, str):
+            res = run_suite_files(spark, clips_src, generate_manifest(spark, num), SuiteConfig())
+        else:
+            res = run_suite(clips_src, generate_manifest(spark, num), SuiteConfig())
         # the four outputs are independent given the scored relation —
         # submit their jobs concurrently from driver threads so the small
         # aggregation jobs overlap instead of queueing (standard Spark
@@ -104,11 +112,19 @@ def child_main(cores: int, n: int, table: str) -> int:
     spark.range(10_000_000).selectExpr("sum(id)").collect()
     suite_pass(generate_clips(spark, 20_000, max_payload_ms=100), 20_000)
 
-    # timed: scan the materialized parquet table — scan(JVM) → score(Arrow).
-    # The sandbox host shows bursty CPU steal; take the best of 3 passes to
+    # timed: scan the materialized parquet table. scan="files" (default) is
+    # the pyarrow-native columnar scan — workers read their assigned parquet
+    # splits directly, so the payload bytes never enter the JVM or cross the
+    # JVM↔Python socket (the double byte-handling the r1 decomposition
+    # measured as the non-scaling bottleneck). scan="jvm" keeps the
+    # spark.read.parquet → Arrow-IPC path for comparison.
+    # The sandbox host shows bursty CPU steal; take the best of N passes to
     # measure the engine, not the neighbors.
     n_passes = int(os.environ.get("MB_SCALE_PASSES", "4"))
-    passes = [suite_pass(spark.read.parquet(table), n) for _ in range(n_passes)]
+    src = table if scan == "files" else None
+    passes = [
+        suite_pass(src if src else spark.read.parquet(table), n) for _ in range(n_passes)
+    ]
     timed = min(passes, key=lambda r: r["wall"])
     print(
         json.dumps(
@@ -132,10 +148,17 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=2_000_000)
     ap.add_argument("--out", default="BENCH/BASELINE.md")
     ap.add_argument("--table", default=None, help="parquet path for the clips table")
+    ap.add_argument(
+        "--scan",
+        default="files",
+        choices=["files", "jvm"],
+        help="files = pyarrow-native columnar scan in the workers (default); "
+        "jvm = spark.read.parquet + Arrow IPC",
+    )
     args = ap.parse_args()
 
     if args.child:
-        return child_main(int(args.cores), args.n, args.table)
+        return child_main(int(args.cores), args.n, args.table, args.scan)
 
     table = args.table or f"/tmp/mb_clips_{args.n}.parquet"
     if not os.path.isdir(table):
@@ -148,7 +171,7 @@ def main() -> int:
         spark.stop()
 
     levels = [int(c) for c in args.cores.split(",")]
-    results = [run_child(c, args.n, table) for c in levels]
+    results = [run_child(c, args.n, table, args.scan) for c in levels]
     lo, hi = results[0], results[-1]
     factor = hi["cores"] / lo["cores"]
     eff = hi["clips_per_sec"] / (factor * lo["clips_per_sec"])
