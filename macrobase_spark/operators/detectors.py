@@ -195,6 +195,69 @@ def lof_scores(model: LOFModel, X: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# MinCovDet (FastMCD C-steps + Mahalanobis scoring)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MCDModel:
+    mean: np.ndarray  # (d,)
+    inv_cov: np.ndarray  # (d, d)
+
+
+def fit_mcd(
+    X: np.ndarray,
+    alpha: float = 0.5,
+    stopping_delta: float = 0.001,
+    seed: int = 42,
+) -> MCDModel:
+    """Minimum Covariance Determinant via C-steps (reference
+    alexp/.../outlier/MinCovDet.java:11-160: h = floor((n+p+1)·alpha) random
+    start, then repeatedly refit mean/cov on the h Mahalanobis-closest rows
+    until the determinant stops shrinking by stopping_delta)."""
+    rng = np.random.default_rng(seed)
+    n, p = X.shape
+    h = min(int(np.floor((n + p + 1) * alpha)), n)
+    h = max(h, p + 1)
+
+    def mean_cov(idx):
+        S = X[idx]
+        mu = S.mean(axis=0)
+        C = np.cov(S, rowvar=False, bias=False)
+        C = np.atleast_2d(C)
+        # ridge for numerical rank-deficiency (the reference relies on
+        # commons-math LU solve failing; we keep the fit usable instead)
+        C = C + 1e-9 * np.eye(p)
+        return mu, C
+
+    idx = rng.choice(n, size=h, replace=False)
+    mu, C = mean_cov(idx)
+    inv = np.linalg.inv(C)
+    det = float(np.linalg.det(C))
+    for _ in range(100):
+        d2 = _mahalanobis_sq(X, mu, inv)
+        idx = np.argpartition(d2, h - 1)[:h]
+        mu, C = mean_cov(idx)
+        inv = np.linalg.inv(C)
+        new_det = float(np.linalg.det(C))
+        if new_det == 0 or det - new_det < stopping_delta:
+            break
+        det = new_det
+    return MCDModel(mu, inv)
+
+
+def _mahalanobis_sq(X: np.ndarray, mu: np.ndarray, inv: np.ndarray) -> np.ndarray:
+    D = X - mu
+    return np.einsum("ij,jk,ik->i", D, inv, D)
+
+
+def mcd_scores(model: MCDModel, X: np.ndarray) -> np.ndarray:
+    """Mahalanobis distance to the robust (MCD) center — the reference's
+    score() (MinCovDet.java:score/getMahalanobis)."""
+    return np.sqrt(np.maximum(_mahalanobis_sq(X, model.mean, model.inv_cov), 0.0))
+
+
+# ---------------------------------------------------------------------------
 # Spark-side: sample → fit → broadcast → score via mapInPandas
 # ---------------------------------------------------------------------------
 
@@ -215,21 +278,28 @@ def _collect_sample(
     return pdf.to_numpy(dtype=np.float64)
 
 
-_SCORERS = {"iforest": iforest_scores, "lof": lof_scores}
+_SCORERS = {"iforest": iforest_scores, "lof": lof_scores, "mcd": mcd_scores}
 
 
 def _score_with(
     df: DataFrame,
     feature_cols: list[str],
-    id_cols: list[str],
+    id_cols: list[str] | None,
     model,
     kind: str,
     score_col: str,
 ) -> DataFrame:
-    in_df = df.select(*id_cols, *feature_cols)
-    out_schema = StructType(
-        [in_df.schema[c] for c in id_cols] + [StructField(score_col, DoubleType())]
-    )
+    """id_cols=None keeps EVERY input column (classifier-chaining mode:
+    downstream classifiers/summarizers need the attributes too)."""
+    if id_cols is None:
+        in_df = df
+        out_schema = StructType(list(df.schema.fields) + [StructField(score_col, DoubleType())])
+        id_cols = [c for c in df.columns]
+    else:
+        in_df = df.select(*id_cols, *feature_cols)
+        out_schema = StructType(
+            [in_df.schema[c] for c in id_cols] + [StructField(score_col, DoubleType())]
+        )
     # broadcast the packed model (a few KB of numpy arrays); workers look up
     # the scorer by name — sc.broadcast pickles with plain pickle
     bc = df.sparkSession.sparkContext.broadcast((kind, model))
@@ -277,6 +347,25 @@ def lof_score(
     return _score_with(df, feature_cols, id_cols, model, "lof", score_col)
 
 
+def mcd_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_cols: list[str] | None,
+    alpha: float = 0.5,
+    stopping_delta: float = 0.001,
+    train_rows: int = 10000,
+    seed: int = 42,
+    score_col: str = "_SCORE",
+) -> DataFrame:
+    """Robust Mahalanobis scores from a FastMCD fit on a seeded sample
+    (reference MinCovDet trainSize default 10000 — the same fit-on-head,
+    score-everything contract, but with a seeded sample instead of head
+    rows so the fit is partitioning-invariant)."""
+    sample = _collect_sample(df, feature_cols, train_rows, seed)
+    model = fit_mcd(sample, alpha=alpha, stopping_delta=stopping_delta, seed=seed)
+    return _score_with(df, feature_cols, id_cols, model, "mcd", score_col)
+
+
 def array_col_to_features(df: DataFrame, array_col: str, dims: int, prefix: str = "_f") -> DataFrame:
     """Expand the first `dims` entries of an array<float> column into scalar
     feature columns (pure projection — stays in codegen)."""
@@ -312,6 +401,17 @@ def lof_outliers_embeddings(spark, sf_dir: str) -> DataFrame:
     feats = [f"_f{i}" for i in range(_DIMS)]
     df = array_col_to_features(emb, "embedding", _DIMS)
     scored = lof_score(df, feats, ["vec_id"])
+    return scored.orderBy(F.desc("_SCORE"), "vec_id").limit(20).select(
+        "vec_id", F.round("_SCORE", 4).alias("score")
+    )
+
+
+@register("mcd_outliers_embeddings")  # rows-only
+def mcd_outliers_embeddings(spark, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feats = [f"_f{i}" for i in range(_DIMS)]
+    df = array_col_to_features(emb, "embedding", _DIMS)
+    scored = mcd_score(df, feats, ["vec_id"])
     return scored.orderBy(F.desc("_SCORE"), "vec_id").limit(20).select(
         "vec_id", F.round("_SCORE", 4).alias("score")
     )

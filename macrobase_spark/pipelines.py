@@ -64,6 +64,9 @@ def _load(spark: SparkSession, conf: dict, base_dir: str) -> DataFrame:
     if base_dir and not path.startswith("/"):
         path = f"{base_dir.rstrip('/')}/{path}"
     if scheme == "csv":
+        chain_metrics = [
+            m for c in conf.get("classifiers", []) for m in c.get("metricColumns", [])
+        ]
         doubles = [
             c
             for c in [
@@ -72,6 +75,7 @@ def _load(spark: SparkSession, conf: dict, base_dir: str) -> DataFrame:
                 conf.get("meanColumn"),
                 conf.get("stdColumn"),
                 *list(conf.get("quantileColumns", {})),
+                *chain_metrics,
             ]
             if c
         ]
@@ -145,7 +149,96 @@ def _classify(df: DataFrame, conf: dict, cube: bool) -> DataFrame:
     raise ValueError(f"bad cube classifier {kind!r}")
 
 
-def _summarize(df: DataFrame, conf: dict, cube: bool) -> DataFrame:
+def _get_chain_classifier(
+    df: DataFrame, conf: dict, metric_cols: list[str], out_col: str
+) -> DataFrame:
+    """One link of a classifier chain (reference alexp Pipelines.
+    getClassifier ids, Pipelines.java:115-240). Detector links keep EVERY
+    input column (id_cols=None) so downstream links and the summarizer see
+    the attributes."""
+    from macrobase_spark.operators.classify import mad_classify, random_classify
+    from macrobase_spark.operators.detectors import iforest_score, lof_score, mcd_score
+
+    cid = (conf.get("id") or conf.get("classifier") or "").lower()
+    p = {**conf, **(conf.get("parameters") or {})}
+    if cid == "percentile":
+        return percentile_classify(
+            df,
+            metric_cols[0],
+            percentile=float(p.get("cutoff", 1.0)),
+            include_high=bool(p.get("includeHi", True)),
+            include_low=bool(p.get("includeLo", True)),
+            output_col=out_col,
+            method="r6",
+        )
+    if cid == "predicate":
+        return predicate_classify(
+            df, metric_cols[0], p.get("predicate", "=="), p["cutoff"], output_col=out_col
+        )
+    if cid == "mad":
+        return mad_classify(
+            df, metric_cols[0], threshold=float(p.get("threshold", 2.5)), output_col=out_col
+        )
+    if cid == "iforest":
+        return iforest_score(
+            df,
+            metric_cols,
+            None,
+            n_trees=int(p.get("treesCount", 100)),
+            subsample=int(p.get("subSampleSize", 256)),
+            train_rows=int(p.get("trainSize", 4096)),
+            score_col=out_col,
+        )
+    if cid in ("lof", "lof-bkaluza"):
+        return lof_score(
+            df,
+            metric_cols,
+            None,
+            k=int(p.get("knn", 5)),
+            train_rows=int(p.get("trainSize", 4096)),
+            score_col=out_col,
+        )
+    if cid in ("mcd", "fastmcd", "mincovdet"):
+        return mcd_score(
+            df,
+            metric_cols,
+            None,
+            alpha=float(p.get("alpha", 0.5)),
+            stopping_delta=float(p.get("stoppingDelta", 0.001)),
+            train_rows=int(p.get("trainSize", 10000)),
+            score_col=out_col,
+        )
+    if cid == "random":
+        return random_classify(
+            df,
+            seed=int(p.get("seed", 42)),
+            threshold=0.5 if p.get("binary", True) else None,
+            output_col=out_col,
+        )
+    raise ValueError(f"bad chain classifier id {cid!r}")
+
+
+def classify_chain(df: DataFrame, confs: list[dict]) -> tuple[DataFrame, str]:
+    """Reference Pipelines.getClassifiersChain + processChained
+    (Pipelines.java:387-419): each classifier consumes the previous link's
+    output column when it names no metricColumns; link i > 0 writes
+    `_OUTLIER{i}`. Returns (classified df, final output column)."""
+    prev_out: str | None = None
+    for i, c in enumerate(confs):
+        metric_cols = list(c.get("metricColumns") or [])
+        if not metric_cols:
+            if prev_out is None:
+                raise ValueError("metricColumns not specified for first chain classifier")
+            metric_cols = [prev_out]
+        out = OUTLIER_COL if i == 0 else f"_OUTLIER{i}"
+        df = _get_chain_classifier(df, c, metric_cols, out)
+        prev_out = out
+    return df, prev_out  # type: ignore[return-value]
+
+
+def _summarize(
+    df: DataFrame, conf: dict, cube: bool, outlier_col: str = OUTLIER_COL
+) -> DataFrame:
     kind = conf.get("summarizer", "apriori").lower()
     attrs = list(conf["attributes"])
     min_support = float(conf.get("minSupport", 0.25))
@@ -157,6 +250,7 @@ def _summarize(df: DataFrame, conf: dict, cube: bool) -> DataFrame:
     if kind in ("apriori", "aplinear", "fpgrowth"):
         params = ExplainParams(
             attributes=attrs,
+            outlier_col=outlier_col,
             count_col=conf.get("countColumn") if cube else None,
             min_support=min_support,
             min_ratio_metric=min_ratio,
@@ -178,7 +272,9 @@ def _summarize(df: DataFrame, conf: dict, cube: bool) -> DataFrame:
 
 
 def run_config(spark: SparkSession, conf: dict, base_dir: str = "") -> PipelineResult:
-    """Load → classify → explain, per the reference pipeline contract."""
+    """Load → classify → explain, per the reference pipeline contract.
+    A `classifiers:` LIST runs as a chain (alexp Pipelines.
+    getClassifiersChain); the summarizer consumes the final link's output."""
     pipeline = conf.get("pipeline", "BasicBatchPipeline")
     cube = pipeline == "CubePipeline"
     # meanshift uses the dedicated summarizer regardless of the summarizer key
@@ -187,6 +283,10 @@ def run_config(spark: SparkSession, conf: dict, base_dir: str = "") -> PipelineR
     if not cube and conf.get("classifier", "").lower() == "countmeanshift":
         conf = {**conf, "summarizer": "countmeanshift"}
     df = _load(spark, conf, base_dir)
-    classified = _classify(df, conf, cube)
-    explanation = _summarize(classified, conf, cube)
+    if conf.get("classifiers"):
+        classified, out_col = classify_chain(df, list(conf["classifiers"]))
+        explanation = _summarize(classified, conf, cube, outlier_col=out_col)
+    else:
+        classified = _classify(df, conf, cube)
+        explanation = _summarize(classified, conf, cube)
     return PipelineResult(classified, explanation)

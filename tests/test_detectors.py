@@ -15,10 +15,13 @@ from macrobase_spark.functions.evaluation import (
 from macrobase_spark.operators.detectors import (
     fit_isolation_forest,
     fit_lof,
+    fit_mcd,
     iforest_score,
     iforest_scores,
     lof_score,
     lof_scores,
+    mcd_score,
+    mcd_scores,
 )
 
 
@@ -76,6 +79,31 @@ def test_lof_spark_scores(spark, planted):
     for r in scored:
         s[r["id"]] = r["_SCORE"]
     assert roc_auc(s, y) > 0.9
+
+
+def test_mcd_numpy_auc(planted):
+    X, y = planted
+    model = fit_mcd(X, seed=1)
+    s = mcd_scores(model, X)
+    assert roc_auc(s, y) > 0.95
+    # the robust fit must shrug off the planted outliers: center near 0,
+    # Mahalanobis of the origin tiny
+    assert float(np.abs(model.mean).max()) < 0.2
+    assert mcd_scores(model, np.zeros((1, X.shape[1])))[0] < 1.0
+
+
+def test_mcd_spark_scores(spark, planted):
+    X, y = planted
+    rows = [(int(i), *map(float, x)) for i, x in enumerate(X)]
+    df = spark.createDataFrame(rows, "id long, f0 double, f1 double, f2 double, f3 double")
+    scored = mcd_score(df, ["f0", "f1", "f2", "f3"], ["id"], seed=3).collect()
+    s = np.zeros(len(X))
+    for r in scored:
+        s[r["id"]] = r["_SCORE"]
+    assert roc_auc(s, y) > 0.95
+    # passthrough mode (id_cols=None) keeps every column for chaining
+    kept = mcd_score(df, ["f0", "f1", "f2", "f3"], None, seed=3, score_col="_S2")
+    assert set(kept.columns) == {"id", "f0", "f1", "f2", "f3", "_S2"}
 
 
 def test_eval_metrics_sanity():

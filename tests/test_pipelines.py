@@ -132,3 +132,40 @@ def test_cube_meanshift_fixture(spark):
     }
     res = run_config(spark, conf, base_dir=REF)
     assert res.explanation.count() >= 0
+
+
+def test_classifier_chain_config(spark, tmp_path):
+    """Chained classifiers (reference Pipelines.getClassifiersChain:387-419):
+    iforest scores the metric columns, then percentile flags the top scores
+    (consuming the previous link's output), and the summarizer explains the
+    final flag. Planted: the 'bad' group holds all the far-out points."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(1200):
+        bad = i % 40 == 0
+        x = rng.uniform(6.0, 9.0, 2) if bad else rng.normal(0.0, 1.0, 2)
+        rows.append((float(x[0]), float(x[1]), "bad" if bad else "ok"))
+    df = spark.createDataFrame(rows, "m0 double, m1 double, grp string")
+    path = str(tmp_path / "chain_input.parquet")
+    df.write.parquet(path)
+    conf = {
+        "pipeline": "BasicBatchPipeline",
+        "inputURI": f"parquet://{path}",
+        "classifiers": [
+            {"id": "iforest", "metricColumns": ["m0", "m1"],
+             "parameters": {"treesCount": 50, "trainSize": 1200}},
+            {"id": "percentile", "parameters": {"cutoff": 3.0, "includeLo": False}},
+        ],
+        "summarizer": "apriori",
+        "attributes": ["grp"],
+        "ratioMetric": "globalRatio",
+        "minSupport": 0.2,
+        "minRatioMetric": 3.0,
+        "maxOrder": 1,
+    }
+    res = run_config(spark, conf)
+    assert "_OUTLIER1" in res.classified.columns
+    got = {r["grp"]: r for r in res.explanation.collect()}
+    assert "bad" in got and "ok" not in got
