@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from macrobase_spark.operators.audio import score_clips
 from macrobase_spark.operators.explain import ExplainParams, explain
@@ -99,6 +99,35 @@ def null_checks(scored: DataFrame) -> DataFrame:
         scored.filter(F.col("transcript_empty")), "empty_transcript", "transcript is empty"
     )
     return nulls.unionByName(empties)
+
+
+def row_local_checks(scored: DataFrame) -> DataFrame:
+    """null/empty transcript + SNR violations in ONE scan: each row emits its
+    (possibly several) violation structs and explodes them — identical rows
+    to null_checks ∪ snr_violations, but one pass instead of three. At 10^12
+    rows every saved pass over the scored relation is a saved stage."""
+    snr_detail = F.when(~F.col("decode_ok"), F.lit("decode failed")).otherwise(
+        F.concat(F.lit("snr_db="), F.round("snr_db", 1).cast("string"))
+    )
+
+    def v(check: str, detail) -> Column:
+        return F.struct(
+            F.lit(check).alias("check"),
+            (detail if not isinstance(detail, str) else F.lit(detail)).alias("detail"),
+        )
+
+    return scored.select(
+        "clip_id",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(F.col("transcript_null"), v("null_transcript", "transcript is null")),
+                    F.when(F.col("transcript_empty"), v("empty_transcript", "transcript is empty")),
+                    F.when(~F.col("snr_pass"), v("snr", snr_detail)),
+                )
+            )
+        ).alias("_v"),
+    ).select("clip_id", F.col("_v.check").alias("check"), F.col("_v.detail").alias("detail"))
 
 
 def ref_integrity_check(scored: DataFrame, manifest: DataFrame) -> DataFrame:
@@ -243,12 +272,15 @@ def run_suite_files(
 
 def row_violations(scored: DataFrame, manifest: DataFrame) -> DataFrame:
     """All row-level (clip_id-attributed) violations: uniqueness, transcript
-    nulls/empties, referential integrity, SNR decode failures."""
+    nulls/empties, referential integrity, SNR decode failures.
+
+    THREE passes over the narrow scored relation, not five: the row-local
+    checks (nulls/empties/snr) share one explode scan; uniqueness is the one
+    aggregation that genuinely needs a shuffle; referential is the anti-join."""
     return (
         uniqueness_check(scored)
-        .unionByName(null_checks(scored))
+        .unionByName(row_local_checks(scored))
         .unionByName(ref_integrity_check(scored, manifest))
-        .unionByName(snr_violations(scored))
     )
 
 
@@ -297,15 +329,32 @@ def explain_from_violations(
 def _suite_from_scored(
     scored: DataFrame, manifest: DataFrame, cfg: SuiteConfig
 ) -> SuiteResult:
-    violations = (
-        row_violations(scored, manifest)
-        .unionByName(
-            drift_check(scored, "dur_ms", [cfg.partition_col, "sr_hz"], cfg.drift_mad_threshold)
+    """Build the suite outputs from the materialized scored relation.
+
+    The row-violation materialization and the drift aggregation are
+    INDEPENDENT jobs over the same cached relation — submit them from two
+    driver threads so they overlap (multi-job driver pattern; at any cluster
+    size the scheduler interleaves their tasks instead of idling between
+    sequential jobs — sequential job latency is exactly the non-scaling
+    term in the N-vs-4N throughput ratio)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as ex:
+        viol_fut = ex.submit(
+            lambda: _materialize(row_violations(scored, manifest), cfg.cache)
         )
-        .localCheckpoint(eager=True)
-    )
-    row_viol = violations.filter(F.col("clip_id").isNotNull())
+        drift_fut = ex.submit(
+            drift_check, scored, "dur_ms", [cfg.partition_col, "sr_hz"], cfg.drift_mad_threshold
+        )
+        row_viol = viol_fut.result()
+        # the explain lattice rounds only need row_viol — start them while
+        # the drift aggregation may still be in flight
+        explain_fut = ex.submit(explain_from_violations, scored, row_viol, cfg)
+        drift = drift_fut.result()
+        explanation = explain_fut.result()
+    # drift rows are a tiny driver-local relation; the union costs nothing —
+    # consumers of `violations` never rescan the heavy branches
+    violations = row_viol.unionByName(drift)
     verdicts = verdicts_from_violations(scored, row_viol, cfg.partition_col)
-    explanation = explain_from_violations(scored, row_viol, cfg)
     stats = column_stats(scored, cfg.partition_col)
     return SuiteResult(violations, verdicts, explanation, stats, scored)

@@ -68,16 +68,42 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold, via an inverted
     index: explode shingles, self-join on the shingle (only docs sharing a
     shingle ever meet), count the intersection, derive the union from the
-    per-doc set sizes."""
+    per-doc set sizes.
+
+    Scale guard (the r1 verdict's hot-shingle finding): a stop-phrase
+    shingle shared by f docs contributes f² join rows — one shingle in 1%
+    of a 10^9-doc corpus is quadratic death. `max_doc_freq` drops shingles
+    with document frequency above the cap from the INDEX (set sizes keep
+    the full sets, so the reported Jaccard becomes a tight lower bound —
+    a true near-dup pair shares many rare shingles and still surfaces).
+    None = exact semantics (what the oracle verifies)."""
     sh = with_shingles(df.select(id_col, text_col), text_col, n)
     e = sh.select(
         F.col(id_col).alias("doc"), F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
     )
+    if max_doc_freq is not None:
+        dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        hot = dfreq.filter(F.col("_df") > max_doc_freq)
+        n_hot = hot.count()  # shingle-grained, bounded
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jaccard_pairs: dropped %d hot shingle(s) with doc-freq > %d "
+                "from the inverted index (jaccard is a lower bound for pairs "
+                "sharing them)", n_hot, max_doc_freq
+            )
+        e = e.join(dfreq.filter(F.col("_df") <= max_doc_freq).select("s"), "s")
     a = e.alias("a")
     b = e.alias("b")
     inter = (
@@ -138,27 +164,43 @@ def minhash_lsh_candidates(
 
 
 def simhash_signature(
-    df: DataFrame, id_col: str, text_col: str, out: str = "simhash"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out: str = "simhash",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document: token hashes via xxhash64 (JVM), per-bit
-    majority votes as 64 conditional-sum aggregates in ONE hash aggregation
-    (whole-stage codegen; partial aggregation collapses each doc's tokens
-    map-side), bits reassembled with a flat 64-term expression.
+    """SimHash per document: per-bit majority votes over token hashes as
+    conditional-sum aggregates in ONE hash aggregation (whole-stage codegen;
+    partial aggregation collapses each doc's tokens map-side), bits
+    reassembled with a flat expression.
+
+    token_hash: "xxhash64" → 64-bit JVM hash (fastest); "md5_60" → 60 bits
+    from the md5 hex prefix — byte-identical in DuckDB
+    (CAST(concat('0x', substr(md5(w),1,15)) AS BIGINT)), which makes the
+    candidate set oracle-verifiable.
 
     Returns (id_col, simhash). A nested higher-order-lambda formulation is
     ~30× slower — Spark evaluates array lambdas interpreted, per element."""
+    n_bits = simhash_bits(token_hash)
+    if token_hash == "xxhash64":
+        hx = "w -> xxhash64(w)"
+    elif token_hash == "md5_60":
+        hx = "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as long)"
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     toks = df.select(
-        id_col, F.explode(F.expr(f"transform(split({text_col}, ' '), w -> xxhash64(w))")).alias("_h")
+        id_col, F.explode(F.expr(f"transform(split({text_col}, ' '), {hx})")).alias("_h")
     )
     votes = [
         F.sum(
             F.when(F.expr(f"(shiftright(_h, {i}) & 1) = 1"), 1).otherwise(-1)
         ).alias(f"_v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     sim = None
-    for i in range(64):
+    for i in range(n_bits):
         term = F.when(
             F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -166,27 +208,62 @@ def simhash_signature(
     return agg.select(id_col, sim.alias(out))
 
 
+def simhash_bits(token_hash: str) -> int:
+    return 64 if token_hash == "xxhash64" else 60
+
+
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int | None = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int | None = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = 10000,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs.
 
-    Banding: docs sharing any 16-bit band of the 64-bit signature become
-    candidates — this catches EVERY pair with hamming distance <= 3
-    (pigeonhole over 4 bands), then the candidates are verified with an
-    exact popcount on the XOR of signatures. Pass max_hamming=None to get
-    the raw (unverified) candidate set."""
-    sig = simhash_signature(df.select(id_col, text_col), id_col, text_col)
+    Banding: docs sharing any (n_bits/n_bands)-bit band of the signature
+    become candidates — with n_bands = max_hamming + 1 this catches EVERY
+    pair within max_hamming (pigeonhole), then candidates are verified with
+    an exact popcount on the XOR of signatures. Pass max_hamming=None for
+    the raw (unverified) candidate set.
+
+    Scale guard (the r1 verdict's quadratic-bucket finding): the band key
+    space is n_bands · 2^band_bits; past ~10^7 docs the average bucket holds
+    n/2^band_bits docs and the within-bucket self-join goes quadratic.
+    Raise n_bands only together with a wider signature; the practical
+    control is `max_bucket` — buckets larger than it (near-identical boiler-
+    plate clusters; every member pair is a near-dup of every other, so
+    emitting the quadratic pair list adds no information) are EXCLUDED from
+    the pair join and logged. Set max_bucket=None for the exact semantics
+    the oracle verifies."""
+    sig = simhash_signature(df.select(id_col, text_col), id_col, text_col, token_hash=token_hash)
+    band_bits = simhash_bits(token_hash) // n_bands
+    mask = (1 << band_bits) - 1
     bands = sig.select(
         F.col(id_col).alias("doc"),
         F.col("simhash"),
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), b -> "
-                "struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))"
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"struct(b AS band, shiftright(simhash, b * {band_bits}) & {mask} AS key))"
             )
         ).alias("bk"),
     )
+    if max_bucket is not None:
+        counts = bands.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
+        dropped = counts.filter(F.col("_n") > max_bucket)
+        n_dropped = dropped.count()  # group-grained, bounded by key space
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_candidates: dropped %d bucket(s) larger than %d docs "
+                "(pairs within them are not emitted)", n_dropped, max_bucket
+            )
+        keep = counts.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select("bk")
+        bands = bands.join(keep, "bk")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = a.join(
@@ -268,7 +345,36 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     return minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=6, bands=2)
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 is not portable to DuckDB
+def _simhash_oracle_sql() -> str:
+    """The md5_60 simhash rendered in DuckDB SQL (bit-identical to the Spark
+    expression: same md5 prefix hash, same votes, same 15-bit bands)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(60)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS th FROM toks),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, {bits} AS sim FROM v),
+    bands AS (SELECT doc_id, sim, b AS band, (sim >> (b * 15)) & 32767 AS key
+              FROM s, (SELECT unnest([0, 1, 2, 3]) AS b)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.sim, b.sim)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT DISTINCT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+    """
+
+
+@register("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash_q(spark, sf_dir):
+    """Oracle-verified flavor: md5-based 60-bit signature (engine-portable),
+    no bucket cap. Production at corpus scale: token_hash='xxhash64' (faster
+    JVM hash) with the default max_bucket guard."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_candidates(d, "doc_id", "text")
+    return simhash_candidates(
+        d, "doc_id", "text", token_hash="md5_60", max_bucket=None
+    )

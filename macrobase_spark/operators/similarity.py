@@ -163,32 +163,66 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 
 
 def lsh_cosine_candidates(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int = 8,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    n_tables: int = 4,
     threshold: float = 0.0,
+    max_bucket: int | None = 20000,
+    seed: int = 7,
 ) -> DataFrame:
-    """Random-hyperplane LSH: sign-bit sketch per vector (one small GEMM per
-    Arrow batch), bucket on the sketch, exact cosine within buckets only."""
-    planes = _hyperplanes(dim, n_planes)
+    """Multi-table random-hyperplane LSH: per table, a sign-bit sketch over
+    `n_planes` hyperplanes (ONE GEMM per Arrow batch computes every table's
+    bits at once); bucket on (table, bits); exact cosine within buckets
+    only; union + dedup of the per-table candidate pairs.
+
+    Scale design (the r1 verdict's 8-plane finding): 2^n_planes buckets per
+    table bounds the within-bucket quadratic — at 16 planes a 10^7-doc
+    corpus averages ~150 docs/bucket; recall lost to the sharper split is
+    bought back with `n_tables` independent tables (standard multi-probe
+    trade). `max_bucket` guards degenerate corpora (everything identical):
+    oversized buckets are dropped and logged, like simhash_candidates."""
+    planes = np.vstack(
+        [_hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)]
+    )
 
     sk_schema = StructType(
-        [StructField("id", LongType()), StructField("bucket", IntegerType())]
+        [StructField("id", LongType()), StructField("bucket", LongType())]
     )
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = 1 << np.arange(n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            ids = pdf[id_col].to_numpy()
             m = _as_matrix(pdf[vec_col])
-            bits = (m @ planes.T) > 0
-            yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(), "bucket": (bits @ weights).astype(np.int32)}
-            )
+            bits = (m @ planes.T) > 0  # (rows, n_tables * n_planes)
+            for t in range(n_tables):
+                key = (bits[:, t * n_planes : (t + 1) * n_planes] @ weights) | (
+                    np.int64(t) << np.int64(n_planes)
+                )
+                yield pd.DataFrame({"id": ids, "bucket": key})
 
     buckets = df.select(id_col, vec_col).mapInPandas(sketch, sk_schema)
     tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
         buckets, "id"
     )
+    if max_bucket is not None:
+        counts = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+        n_dropped = counts.filter(F.col("_n") > max_bucket).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_cosine_candidates: dropped %d bucket(s) larger than %d",
+                n_dropped, max_bucket,
+            )
+        tagged = tagged.join(
+            counts.filter(F.col("_n") <= max_bucket).select("bucket"), "bucket"
+        )
     blocks = tagged.groupBy("bucket").agg(
         F.collect_list("id").alias("ids"), F.collect_list("v").alias("vecs")
     )
@@ -206,8 +240,10 @@ def lsh_cosine_candidates(
                 ia, ib = ia[keep], ib[keep]
                 yield pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos": sims[ia, ib]})
 
-    return blocks.mapInPandas(within, _PAIR_SCHEMA).select(
-        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    return (
+        blocks.mapInPandas(within, _PAIR_SCHEMA)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .distinct()  # pairs found by several tables collapse to one row
     )
 
 
@@ -263,4 +299,8 @@ def embedding_cosine_dup_q(spark, sf_dir):
 def ann_lsh_candidates_q(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(e.select("embedding").first()[0])
-    return lsh_cosine_candidates(e, "vec_id", "embedding", dim=dim, n_planes=8)
+    # small-sf sizing: 2^10 buckets/table keeps buckets populated at 10k
+    # vectors; production default is 16 planes x 4 tables
+    return lsh_cosine_candidates(
+        e, "vec_id", "embedding", dim=dim, n_planes=10, n_tables=2
+    )
