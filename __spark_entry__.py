@@ -27,6 +27,8 @@ import macrobase_spark.operators.similarity  # noqa: E402,F401
 import macrobase_spark.operators.text  # noqa: E402,F401
 import macrobase_spark.operators.clips_suite  # noqa: E402,F401
 import macrobase_spark.operators.detectors  # noqa: E402,F401
+import macrobase_spark.operators.hics  # noqa: E402,F401
+import macrobase_spark.operators.mcod  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:
