@@ -28,6 +28,7 @@ import macrobase_spark.operators.text  # noqa: E402,F401
 import macrobase_spark.operators.clips_suite  # noqa: E402,F401
 import macrobase_spark.operators.detectors  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
+import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.mcod  # noqa: E402,F401
 
 

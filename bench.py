@@ -58,6 +58,7 @@ def main() -> int:
     import macrobase_spark.operators.dedup  # noqa: F401
     import macrobase_spark.operators.detectors  # noqa: F401
     import macrobase_spark.operators.hics  # noqa: F401
+    import macrobase_spark.operators.hst  # noqa: F401
     import macrobase_spark.operators.mcod  # noqa: F401
     import macrobase_spark.operators.similarity  # noqa: F401
     import macrobase_spark.operators.text  # noqa: F401

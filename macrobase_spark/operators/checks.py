@@ -326,35 +326,147 @@ def explain_from_violations(
     )
 
 
+CHECK_NAMES = ["uniqueness", "null_transcript", "empty_transcript", "ref_integrity", "snr"]
+
+
 def _suite_from_scored(
     scored: DataFrame, manifest: DataFrame, cfg: SuiteConfig
 ) -> SuiteResult:
-    """Build the suite outputs from the materialized scored relation.
+    """Build the suite outputs from the materialized scored relation in TWO
+    distributed jobs total (the N-vs-4N scaling ratio is dominated by
+    sequential job latency, so every removed pass is efficiency):
 
-    The row-violation materialization and the drift aggregation are
-    INDEPENDENT jobs over the same cached relation — submit them from two
-    driver threads so they overlap (multi-job driver pattern; at any cluster
-    size the scheduler interleaves their tasks instead of idling between
-    sequential jobs — sequential job latency is exactly the non-scaling
-    term in the N-vs-4N throughput ratio)."""
-    from concurrent.futures import ThreadPoolExecutor
+    1. the row-violation materialization (uniqueness agg + explode scan +
+       anti-join, one union job);
+    2. ONE rollup aggregation over scored ⋈ violations-per-clip that
+       computes, grouped by (partition_col, sr_hz) AND (partition_col):
+       row counts, transcript-null counts, dur_ms min/max + mergeable
+       percentile sketches, HLL sr_hz distinct, payload sums, per-check
+       violation-row counts, and flagged-row counts.
 
-    with ThreadPoolExecutor(3) as ex:
-        viol_fut = ex.submit(
-            lambda: _materialize(row_violations(scored, manifest), cfg.cache)
+    Everything else derives from that ≤(|codec|·|sr|) + |codec| + 1 row
+    aggregate on the driver: drift (MAD over the group medians), column
+    stats, per-partition verdicts, and the risk-ratio explanation (the
+    lattice runs in CUBE mode over the group counts — identical numbers to
+    the raw path, reference APLSummarizer cube semantics). Each output is
+    identical, relation-for-relation, to the component functions
+    (row_violations / verdicts_from_violations / column_stats / explain) the
+    oracle queries certify — asserted by tests/test_clips.py.
+    """
+    import numpy as np
+
+    part = cfg.partition_col
+    row_viol = _materialize(row_violations(scored, manifest), cfg.cache)
+
+    vc_cols = [f"_vc{i}" for i in range(len(CHECK_NAMES))]
+    viol_by_clip = row_viol.groupBy("clip_id").agg(
+        *[
+            F.sum(F.when(F.col("check") == c, 1).otherwise(0)).alias(vc)
+            for c, vc in zip(CHECK_NAMES, vc_cols)
+        ]
+    )
+    # AQE picks broadcast when the violating-clip set is small; at
+    # violation-heavy scale this is one sort-merge shuffle — still the only
+    # scored-relation join in the whole suite
+    enriched = scored.join(viol_by_clip, "clip_id", "left")
+    agg_rows = (
+        enriched.rollup(part, "sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("transcript_null").cast("long")).alias("n_null"),
+            F.min("dur_ms").alias("min_dur"),
+            F.max("dur_ms").alias("max_dur"),
+            F.percentile_approx("dur_ms", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias("dur_q"),
+            F.approx_count_distinct("sr_hz").alias("n_sr"),
+            F.sum("payload_bytes").alias("payload_sum"),
+            F.sum(
+                F.when(
+                    sum((F.coalesce(F.col(vc), F.lit(0)) for vc in vc_cols), F.lit(0)) > 0, 1
+                ).otherwise(0)
+            ).alias("n_flagged"),
+            *[F.sum(F.coalesce(F.col(vc), F.lit(0))).alias(vc) for vc in vc_cols],
         )
-        drift_fut = ex.submit(
-            drift_check, scored, "dur_ms", [cfg.partition_col, "sr_hz"], cfg.drift_mad_threshold
-        )
-        row_viol = viol_fut.result()
-        # the explain lattice rounds only need row_viol — start them while
-        # the drift aggregation may still be in flight
-        explain_fut = ex.submit(explain_from_violations, scored, row_viol, cfg)
-        drift = drift_fut.result()
-        explanation = explain_fut.result()
-    # drift rows are a tiny driver-local relation; the union costs nothing —
-    # consumers of `violations` never rescan the heavy branches
+        .collect()
+    )
+    spark = scored.sparkSession
+    fine = [r for r in agg_rows if r[part] is not None and r["sr_hz"] is not None]
+    coarse = [r for r in agg_rows if r[part] is not None and r["sr_hz"] is None]
+
+    # --- drift: MAD robust z over the (part, sr_hz) group medians ---------
+    drift_out = []
+    if fine:
+        meds = np.array([float(r["dur_q"][0]) for r in fine])
+        median = float(np.percentile(meds, 50))
+        resid = np.abs(meds - median)
+        mad = float(np.percentile(resid, 50))
+        scale = 1.4826 * mad if mad > 0 else (1.253314 * resid.mean() if resid.mean() else 1.0)
+        for r, res in zip(fine, resid):
+            s = res / scale
+            if s > cfg.drift_mad_threshold:
+                drift_out.append(
+                    (
+                        None,
+                        "drift",
+                        f"drifted dur_ms in ({r[part]},{r['sr_hz']}): "
+                        f"med={round(float(r['dur_q'][0]), 1)} score={round(float(s), 2)}",
+                    )
+                )
+    drift = spark.createDataFrame(drift_out, "clip_id string, check string, detail string")
     violations = row_viol.unionByName(drift)
-    verdicts = verdicts_from_violations(scored, row_viol, cfg.partition_col)
-    stats = column_stats(scored, cfg.partition_col)
+
+    # --- column stats (part grain) ----------------------------------------
+    stats = spark.createDataFrame(
+        [
+            (
+                r[part],
+                r["n_rows"],
+                round(r["n_null"] / r["n_rows"], 6),
+                r["min_dur"],
+                r["max_dur"],
+                round(float(r["dur_q"][0]), 6),
+                round(float(r["dur_q"][1]), 6),
+                r["n_sr"],
+                round(r["payload_sum"] / r["n_rows"], 2),
+            )
+            for r in coarse
+        ],
+        f"{part} string, n_rows long, transcript_null_rate double, min_dur_ms int, "
+        "max_dur_ms int, dur_ms_p50 double, dur_ms_p95 double, n_sr_values long, "
+        "avg_payload_bytes double",
+    )
+
+    # --- per-partition verdicts (part grain, one row per present check) ---
+    verd_rows = []
+    for r in coarse:
+        present = [(c, r[vc]) for c, vc in zip(CHECK_NAMES, vc_cols) if r[vc] > 0]
+        if present:
+            for c, nv in present:
+                verd_rows.append((r[part], r["n_rows"], c, int(nv), False))
+        else:
+            verd_rows.append((r[part], r["n_rows"], None, 0, True))
+    verdicts = spark.createDataFrame(
+        verd_rows,
+        f"{part} string, n_rows long, check string, n_violations long, passed boolean",
+    )
+
+    # --- explanation: lattice in cube mode over the fine-grain counts -----
+    cube = spark.createDataFrame(
+        [
+            (r[part], str(r["sr_hz"]), float(r["n_flagged"]), float(r["n_rows"]))
+            for r in fine
+        ],
+        f"{part} string, sr_hz_s string, _OUTLIER double, _count double",
+    )
+    explanation = explain(
+        cube,
+        ExplainParams(
+            attributes=[part, "sr_hz_s"],
+            count_col="_count",
+            min_support=cfg.explain_min_support,
+            min_ratio_metric=cfg.explain_min_ratio,
+            ratio_metric="risk_ratio",
+            max_order=2,
+            cache_base=False,
+        ),
+    )
     return SuiteResult(violations, verdicts, explanation, stats, scored)

@@ -189,6 +189,20 @@ def _get_chain_classifier(
             train_rows=int(p.get("trainSize", 4096)),
             score_col=out_col,
         )
+    if cid in ("hst", "hstf"):
+        from macrobase_spark.operators.hst import hst_score
+
+        return hst_score(
+            df,
+            metric_cols,
+            None,
+            n_trees=int(p.get("treesCount", 100)),
+            subsample=int(p.get("subSampleSize", 256)),
+            n_dims=int(p.get("subDimensionSize", 0)),
+            depth_limit=int(p.get("depthLimit", 10)),
+            train_rows=int(p.get("trainSize", 4096)),
+            score_col=out_col,
+        )
     if cid in ("lof", "lof-bkaluza"):
         return lof_score(
             df,

@@ -107,3 +107,46 @@ def test_manifest_resume(spark, tmp_path, suite):
     mdf = m.read(spark)
     assert mdf.count() == len(parts)
     assert mdf.filter(~F.col("passed")).count() == 1
+
+
+def test_fused_suite_matches_component_functions(spark, suite):
+    """run_suite's fused single-aggregation fast path must produce the same
+    relations as the component functions the oracle queries certify."""
+    from macrobase_spark.operators.checks import (
+        column_stats,
+        explain_from_violations,
+        row_violations,
+        verdicts_from_violations,
+    )
+
+    scored = suite.scored
+    viol = row_violations(scored, generate_manifest(spark, N))
+
+    ref_verd = {
+        (r["codec"], r["check"]): (r["n_rows"], r["n_violations"], r["passed"])
+        for r in verdicts_from_violations(scored, viol, "codec").collect()
+    }
+    got_verd = {
+        (r["codec"], r["check"]): (r["n_rows"], r["n_violations"], r["passed"])
+        for r in suite.verdicts.collect()
+    }
+    assert got_verd == ref_verd
+
+    ref_stats = {r["codec"]: r.asDict() for r in column_stats(scored, "codec").collect()}
+    for r in suite.column_stats.collect():
+        ref = ref_stats[r["codec"]]
+        for k, v in r.asDict().items():
+            if isinstance(v, float):
+                assert v == pytest.approx(ref[k], rel=1e-6), (r["codec"], k)
+            else:
+                assert v == ref[k], (r["codec"], k)
+
+    ref_exp = {
+        (r["codec"], r["sr_hz_s"]): (r["outlier_count"], r["total_count"], r["risk_ratio"])
+        for r in explain_from_violations(scored, viol, SuiteConfig()).collect()
+    }
+    got_exp = {
+        (r["codec"], r["sr_hz_s"]): (r["outlier_count"], r["total_count"], r["risk_ratio"])
+        for r in suite.explanation.collect()
+    }
+    assert got_exp == ref_exp
