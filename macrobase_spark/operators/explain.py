@@ -342,6 +342,88 @@ def meanshift_explain(
         base.unpersist()
 
 
+def meandev_explain(
+    df: DataFrame,
+    attributes: list[str],
+    count_col: str | None = None,
+    mean_col: str = "mean",
+    std_col: str = "std",
+    min_support: float = 0.2,
+    min_std_dev: float = 3.0,
+    max_order: int = 3,
+    prune_containment: bool = False,
+) -> DataFrame:
+    """APLMeanSummarizer (reference lib/.../aplinear/APLMeanSummarizer.java
+    :28-101 + MeanDevQualityMetric.java:1-50): itemset aggregates are
+    [count, m1 = mean·count, m2 = (std² + mean²)·count] (std = population
+    std, so m1/m2 are plain Σx/Σx²); metric = |subgroup mean − global mean|
+    / global std; support = count share of ALL rows
+    (SupportQualityMetric(0)).
+
+    prune_containment defaults False: the reference marks mean_deviation
+    non-monotonic (MeanDevQualityMetric.isMonotonic), so emit-and-stop
+    containment pruning could hide a stronger superset; the full
+    support+threshold-filtered lattice is also what the SQL oracle states."""
+    attrs = list(attributes)
+    spark = df.sparkSession
+    cnt = (
+        F.coalesce(F.col(count_col).cast("double"), F.lit(1.0))
+        if count_col
+        else F.lit(1.0)
+    )
+    mean = F.col(mean_col).cast("double")
+    std = F.col(std_col).cast("double")
+    base = df.select(
+        cnt.alias("_g0"),
+        (mean * cnt).alias("_g1"),
+        ((std * std + mean * mean) * cnt).alias("_g2"),
+        *attrs,
+    ).persist(StorageLevel.MEMORY_ONLY)
+    try:
+        g = base.agg(
+            F.sum("_g0").alias("n"), F.sum("_g1").alias("m1"), F.sum("_g2").alias("m2")
+        ).collect()[0]
+        total = float(g["n"] or 0.0)
+        fields = [StructField(a, StringType()) for a in attrs]
+        fields += [
+            StructField("support", DoubleType()),
+            StructField("mean_dev", DoubleType()),
+            StructField("count", DoubleType()),
+        ]
+        schema = StructType(fields)
+        if total == 0.0:
+            return spark.createDataFrame([], schema)
+        g_mean = float(g["m1"]) / total
+        g_var = float(g["m2"]) / total - g_mean * g_mean
+        g_std = g_var**0.5 if g_var > 0 else 0.0
+
+        def mean_dev(aggs: tuple[float, ...]) -> float:
+            c, m1, _ = aggs
+            if c == 0.0 or g_std == 0.0:
+                return 0.0
+            return abs(m1 / c - g_mean) / g_std
+
+        emitted = _lattice_rounds(
+            base,
+            attrs,
+            3,
+            min_support * total,
+            mean_dev,
+            min_std_dev,
+            max_order,
+            prune_containment,
+        )
+        rows = []
+        for items, (c, m1, m2) in emitted:
+            padded: list = [None] * len(attrs)
+            for ai, val in items:
+                padded[ai] = val
+            rows.append((*padded, c / total, mean_dev((c, m1, m2)), c))
+        return spark.createDataFrame(rows, schema)
+    finally:
+        base.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # DIFF / SPLIT query forms (reference sql/.../QueryEngine.executeDiffQuerySpec
 # QueryEngine.java:121-200): classify-then-explain packaged as one call.

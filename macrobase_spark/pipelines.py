@@ -282,6 +282,19 @@ def _summarize(
             min_mean_shift=float(conf.get("meanShiftRatio", conf.get("minMeanShift", 1.1))),
             max_order=max_order,
         )
+    if kind in ("mean", "meandev", "aplmean"):
+        from macrobase_spark.operators.explain import meandev_explain
+
+        return meandev_explain(
+            df,
+            attrs,
+            count_col=conf.get("countColumn"),
+            mean_col=conf.get("meanColumn", "mean"),
+            std_col=conf.get("stdColumn", "std"),
+            min_support=min_support,
+            min_std_dev=float(conf.get("minStdDev", 3.0)),
+            max_order=max_order,
+        )
     raise ValueError(f"bad summarizer {kind!r}")
 
 

@@ -624,6 +624,61 @@ def meanshift_explain_events(spark, sf_dir):
 
 
 @_q(
+    "explain_meandev_events",
+    """
+    WITH t AS (SELECT event_type, props, value FROM events),
+    g AS (SELECT CAST(count(*) AS DOUBLE) AS g_n, sum(value) AS g_m1,
+                 sum(value * value) AS g_m2 FROM t),
+    gs AS (SELECT event_type, props, CAST(count(*) AS DOUBLE) AS c,
+                  sum(value) AS m1
+           FROM t GROUP BY GROUPING SETS ((event_type), (props),
+                                          (event_type, props)))
+    SELECT event_type, props,
+           round(c / g_n, 6) AS support,
+           round(abs(m1 / c - g_m1 / g_n)
+                 / sqrt(g_m2 / g_n - (g_m1 / g_n) * (g_m1 / g_n)), 6) AS mean_dev,
+           c AS count
+    FROM gs, g
+    WHERE c >= 0.05 * g_n
+      AND abs(m1 / c - g_m1 / g_n)
+          / sqrt(g_m2 / g_n - (g_m1 / g_n) * (g_m1 / g_n)) >= 0.3
+    """,
+)
+def explain_meandev_events(spark, sf_dir):
+    """APLMeanSummarizer mean-deviation explanation over the per-
+    (event_type, props) cube of events: subgroups whose mean sits
+    >= 0.3 global-stds from the global mean (reference
+    APLMeanSummarizer.java:28-101). The cube carries (count, mean,
+    population std); m1/m2 reconstruct Σx/Σx² exactly."""
+    from macrobase_spark.operators.explain import meandev_explain
+
+    e = _t(spark, sf_dir, "events")
+    cube = e.groupBy("event_type", "props").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.avg("value").alias("mean"),
+        F.stddev_pop("value").alias("std"),
+    )
+    res = meandev_explain(
+        cube,
+        ["event_type", "props"],
+        count_col="cnt",
+        mean_col="mean",
+        std_col="std",
+        min_support=0.05,
+        min_std_dev=0.3,
+        max_order=2,
+        prune_containment=False,
+    )
+    return res.select(
+        "event_type",
+        "props",
+        F.round("support", 6).alias("support"),
+        F.round("mean_dev", 6).alias("mean_dev"),
+        "count",
+    )
+
+
+@_q(
     "explain_fpgrowth_orders",
     _explain_oracle(
         "orders",
