@@ -195,6 +195,95 @@ def lof_scores(model: LOFModel, X: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# LOF search-range variant (lof-chen) and LOCI
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LOFChenModel:
+    models: list  # one LOFModel per k in the search range
+
+
+def fit_lof_chen(
+    X: np.ndarray, k_lb: int = 3, k_ub: int = 10, seed: int = 42, max_sample: int = 4096
+) -> LOFChenModel:
+    """lof-chen (reference alexp/.../outlier/lof/chen/LOF.java via
+    Pipelines.java:218-224, search range minPtsLB..minPtsUB): the score is
+    the MAX LOF over every k in the range — one fitted model per k, all on
+    the same sample."""
+    return LOFChenModel([fit_lof(X, k=k, seed=seed, max_sample=max_sample) for k in range(k_lb, k_ub + 1)])
+
+
+def lof_chen_scores(model: LOFChenModel, X: np.ndarray) -> np.ndarray:
+    s = np.full(X.shape[0], -np.inf)
+    for m in model.models:
+        s = np.maximum(s, lof_scores(m, X))
+    return s
+
+
+@dataclass
+class LOCIModel:
+    S: np.ndarray  # sample matrix (m, d)
+    alpha: float
+    k_sigma: float
+    radii: np.ndarray  # radius grid (g,)
+    s_cnt: np.ndarray  # (m, g) per-sample-point neighbor counts at alpha*r
+
+
+def fit_loci(
+    X: np.ndarray,
+    alpha: float = 0.5,
+    k_sigma: float = 3.0,
+    n_radii: int = 16,
+    seed: int = 42,
+    max_sample: int = 2048,
+) -> LOCIModel:
+    """LOCI multi-granularity MDEF (reference alexp/.../outlier/lof/chen/
+    LOCI.java:18-155). Two deliberate scale adaptations, both documented:
+    the neighborhood statistics come from a seeded SAMPLE (the reference
+    builds the full O(n²) distance matrix of the batch — impossible
+    distributed), and the radius sweep runs over a GEOMETRIC GRID between
+    the sample's min/max non-zero distances instead of every pairwise
+    distance (the aLOCI discretization; the reference's per-point radius
+    loop is O(n³))."""
+    rng = np.random.default_rng(seed)
+    if X.shape[0] > max_sample:
+        X = X[rng.choice(X.shape[0], size=max_sample, replace=False)]
+    m = X.shape[0]
+    D = np.sqrt(_pairwise_sq(X, X))
+    off = D[~np.eye(m, dtype=bool)]
+    d_lo = max(float(off[off > 0].min()) if (off > 0).any() else 1e-6, 1e-12)
+    d_hi = max(float(off.max()), d_lo * 1.0001)
+    radii = np.geomspace(d_lo, d_hi, n_radii)
+    # per sample point: count of sample points within alpha*r (incl. itself)
+    s_cnt = np.empty((m, len(radii)))
+    for k, r in enumerate(radii):
+        s_cnt[:, k] = (D < alpha * r).sum(axis=1)  # diagonal 0 < alpha*r → self
+    return LOCIModel(X.astype(np.float64), alpha, k_sigma, radii, s_cnt)
+
+
+def loci_scores(model: LOCIModel, X: np.ndarray) -> np.ndarray:
+    """Max MDEF z-score over the radius grid (> k_sigma ⇒ the reference
+    flags the point): MDEF = 1 − n(x, αr)/n̂(r), σ_MDEF = σ_n̂/n̂, with n̂/σ
+    over the sample's r-neighborhood counts (reference LOCI.java:43-130,
+    D_i taken at r_max ⇒ the whole sample)."""
+    d = np.sqrt(_pairwise_sq(X.astype(np.float64), model.S))
+    m = model.S.shape[0]
+    out = np.full(X.shape[0], -np.inf)
+    for k, r in enumerate(model.radii):
+        cnt = model.s_cnt[:, k]
+        n_hat = cnt.sum() / (m + 1)
+        sigma = np.sqrt(((cnt - n_hat) ** 2).sum() / (m + 1))
+        if n_hat <= 0:
+            continue
+        n_x = 1.0 + (d < model.alpha * r).sum(axis=1)
+        mdef = 1.0 - n_x / n_hat
+        sigma_mdef = max(sigma / n_hat, 1e-12)
+        out = np.maximum(out, mdef / sigma_mdef)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # MinCovDet (FastMCD C-steps + Mahalanobis scoring)
 # ---------------------------------------------------------------------------
 
@@ -278,7 +367,13 @@ def _collect_sample(
     return pdf.to_numpy(dtype=np.float64)
 
 
-_SCORERS = {"iforest": iforest_scores, "lof": lof_scores, "mcd": mcd_scores}
+_SCORERS = {
+    "iforest": iforest_scores,
+    "lof": lof_scores,
+    "mcd": mcd_scores,
+    "lof_chen": lof_chen_scores,
+    "loci": loci_scores,
+}
 
 
 def _score_with(
@@ -364,6 +459,42 @@ def mcd_score(
     sample = _collect_sample(df, feature_cols, train_rows, seed)
     model = fit_mcd(sample, alpha=alpha, stopping_delta=stopping_delta, seed=seed)
     return _score_with(df, feature_cols, id_cols, model, "mcd", score_col)
+
+
+def lof_chen_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_cols: list[str] | None,
+    k_lb: int = 3,
+    k_ub: int = 10,
+    train_rows: int = 4096,
+    seed: int = 42,
+    score_col: str = "_SCORE",
+) -> DataFrame:
+    """Max-over-k LOF (reference lof-chen search range)."""
+    sample = _collect_sample(df, feature_cols, train_rows, seed)
+    model = fit_lof_chen(sample, k_lb=k_lb, k_ub=k_ub, seed=seed, max_sample=train_rows)
+    return _score_with(df, feature_cols, id_cols, model, "lof_chen", score_col)
+
+
+def loci_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_cols: list[str] | None,
+    alpha: float = 0.5,
+    k_sigma: float = 3.0,
+    n_radii: int = 16,
+    train_rows: int = 2048,
+    seed: int = 42,
+    score_col: str = "_SCORE",
+) -> DataFrame:
+    """LOCI MDEF z-scores (> k_sigma ⇒ outlier per the reference flag)."""
+    sample = _collect_sample(df, feature_cols, train_rows, seed)
+    model = fit_loci(
+        sample, alpha=alpha, k_sigma=k_sigma, n_radii=n_radii, seed=seed,
+        max_sample=train_rows,
+    )
+    return _score_with(df, feature_cols, id_cols, model, "loci", score_col)
 
 
 def array_col_to_features(df: DataFrame, array_col: str, dims: int, prefix: str = "_f") -> DataFrame:

@@ -212,6 +212,29 @@ def _get_chain_classifier(
             train_rows=int(p.get("trainSize", 4096)),
             score_col=out_col,
         )
+    if cid == "lof-chen":
+        from macrobase_spark.operators.detectors import lof_chen_score
+
+        return lof_chen_score(
+            df,
+            metric_cols,
+            None,
+            k_lb=int(p.get("minPtsLB", 3)),
+            k_ub=int(p.get("minPtsUB", 10)),
+            train_rows=int(p.get("trainSize", 4096)),
+            score_col=out_col,
+        )
+    if cid == "loci":
+        from macrobase_spark.operators.detectors import loci_score
+
+        return loci_score(
+            df,
+            metric_cols,
+            None,
+            alpha=float(p.get("alpha", 0.5)),
+            k_sigma=float(p.get("kSigma", 3)),
+            score_col=out_col,
+        )
     if cid in ("mcd", "fastmcd", "mincovdet"):
         return mcd_score(
             df,

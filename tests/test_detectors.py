@@ -122,3 +122,34 @@ def test_eval_metrics_sanity():
     r = rng.uniform(size=10000)
     lab = rng.integers(0, 2, size=10000)
     assert 0.45 < roc_auc(r, lab) < 0.55
+
+
+def test_lof_chen_and_loci_auc(planted):
+    from macrobase_spark.operators.detectors import (
+        fit_lof_chen,
+        fit_loci,
+        lof_chen_scores,
+        loci_scores,
+    )
+
+    X, y = planted
+    chen = fit_lof_chen(X, k_lb=5, k_ub=15, seed=1)
+    assert roc_auc(lof_chen_scores(chen, X), y) > 0.9
+    loci = fit_loci(X, seed=1)
+    s = loci_scores(loci, X)
+    assert roc_auc(s, y) > 0.85
+    # the reference's flag: MDEF z > kSigma — planted far-out points flag
+    assert (s[y == 1] > 3.0).mean() > 0.6
+
+
+def test_loci_spark_scores(spark, planted):
+    from macrobase_spark.operators.detectors import loci_score
+
+    X, y = planted
+    rows = [(int(i), *map(float, x)) for i, x in enumerate(X)]
+    df = spark.createDataFrame(rows, "id long, f0 double, f1 double, f2 double, f3 double")
+    scored = loci_score(df, ["f0", "f1", "f2", "f3"], ["id"], seed=3).collect()
+    s = np.zeros(len(X))
+    for r in scored:
+        s[r["id"]] = r["_SCORE"]
+    assert roc_auc(s, y) > 0.85
