@@ -212,6 +212,18 @@ def _get_chain_classifier(
             train_rows=int(p.get("trainSize", 4096)),
             score_col=out_col,
         )
+    if cid == "rrcf":
+        from macrobase_spark.operators.rrcf import rrcf_score
+
+        return rrcf_score(
+            df,
+            metric_cols,
+            None,
+            n_trees=int(p.get("treesCount", 100)),
+            subsample=int(p.get("subSampleSize", 256)),
+            train_rows=int(p.get("trainSize", 4096)),
+            score_col=out_col,
+        )
     if cid == "lof-chen":
         from macrobase_spark.operators.detectors import lof_chen_score
 
