@@ -226,14 +226,30 @@ def _lattice_rounds(
             def pkey(a, b):
                 return F.concat_ws("\x00", a["ai"], a["val"], b["ai"], b["val"])
 
-            valid = (
-                pkey(it[0], it[1]).isin(next2_keys)
-                & pkey(it[0], it[2]).isin(next2_keys)
-                & pkey(it[1], it[2]).isin(next2_keys)
-            )
+            if len(next2_keys) <= 5000:
+                valid = (
+                    pkey(it[0], it[1]).isin(next2_keys)
+                    & pkey(it[0], it[2]).isin(next2_keys)
+                    & pkey(it[1], it[2]).isin(next2_keys)
+                )
+                filtered = triples.filter(valid)
+            else:
+                # a literal isin list this long would bloat the plan string
+                # and codegen — validate via three broadcast LEFT SEMI joins
+                # against the survivor-key relation instead (support-bounded,
+                # so the broadcast stays small in bytes)
+                kdf = triples.sparkSession.createDataFrame(
+                    [(k,) for k in next2_keys], "_sk string"
+                )
+                filtered = triples
+                for a, b in ((0, 1), (0, 2), (1, 2)):
+                    filtered = filtered.join(
+                        F.broadcast(kdf),
+                        pkey(it[a], it[b]) == F.col("_sk"),
+                        "left_semi",
+                    )
             surv3_rows = (
-                triples.filter(valid)
-                .groupBy("its")
+                filtered.groupBy("its")
                 .agg(*sums)
                 .filter(F.col("_g0") >= support_thresh)
                 .collect()

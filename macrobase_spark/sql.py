@@ -59,9 +59,21 @@ class MacroBaseSQL:
     def register(self, name: str, df: DataFrame) -> None:
         self.tables[name.lower()] = df
 
+    # INTO OUTFILE collects to the driver (the reference writes one local
+    # CSV stream); above this many rows, spill distributed instead of
+    # OOM-ing the driver
+    MAX_COLLECT_ROWS = 5_000_000
+
     def write_csv(self, df: DataFrame, path: str) -> None:
         """Reference CSV export: header, nulls as empty fields, Infinity
-        spelled out (CSVDataFrameWriter.writeToStream)."""
+        spelled out (CSVDataFrameWriter.writeToStream). Edge-collect is
+        sanctioned for the reference's export semantics (SURVEY §1.6), but a
+        big relation falls back to a distributed write (a DIRECTORY of part
+        CSVs at `path`) rather than driver-collecting it."""
+        n = df.limit(self.MAX_COLLECT_ROWS + 1).count()
+        if n > self.MAX_COLLECT_ROWS:
+            df.write.mode("overwrite").option("header", True).csv(path)
+            return
         pdf = df.toPandas()
         pdf.to_csv(path, index=False)
 
