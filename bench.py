@@ -61,6 +61,7 @@ def main() -> int:
     import macrobase_spark.operators.hst  # noqa: F401
     import macrobase_spark.operators.mcod  # noqa: F401
     import macrobase_spark.operators.rrcf  # noqa: F401
+    import macrobase_spark.operators.subspace_explainers  # noqa: F401
     import macrobase_spark.operators.similarity  # noqa: F401
     import macrobase_spark.operators.text  # noqa: F401
     from macrobase_spark.session import get_spark
