@@ -46,6 +46,17 @@ HEADLINE = [
     "clips_validation_suite",
 ]
 
+# round-2 operators: timed and reported per-query, but kept OUT of the
+# headline total so `value` stays comparable across rounds (same 22 queries)
+EXTRA = [
+    "mcod_outliers_events",
+    "hst_outliers_embeddings",
+    "rrcf_outliers_embeddings",
+    "mcd_outliers_embeddings",
+    "hics_subspace_embeddings",
+    "explain_meandev_events",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +90,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         fn = Q.QUERIES.get(name)
         if fn is None:
             continue
@@ -95,7 +106,8 @@ def main() -> int:
             extra["clips_n"] = clips_n(sf_dir)
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for k, v in timings.items() if k in HEADLINE), 3)
+    extra["extra_total"] = round(sum(v for k, v in timings.items() if k in EXTRA), 3)
     print(
         json.dumps(
             {

@@ -1,0 +1,111 @@
+"""XLSX / HTTP-CSV / JDBC source surfaces."""
+
+import threading
+import zipfile
+
+import pytest
+
+from macrobase_spark.sources.jdbc_source import jdbc_reader_options
+from macrobase_spark.sources.rest_source import load_http_csv, stream_http_csv
+from macrobase_spark.sources.xlsx_source import load_xlsx
+
+
+def _write_xlsx(path: str, header, rows):
+    """Minimal OOXML workbook (inline strings, one sheet)."""
+
+    def cell(ref, v):
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    def row(rid, vals):
+        cells = "".join(
+            cell(f"{chr(65 + i)}{rid}", v) for i, v in enumerate(vals) if v is not None
+        )
+        return f'<r r="{rid}">{cells}</r>'.replace("<r ", "<row ").replace("</r>", "</row>")
+
+    body = "".join(row(i + 1, vals) for i, vals in enumerate([header, *rows]))
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{body}</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_load_xlsx(spark, tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    _write_xlsx(
+        p,
+        ["name", "usage", "note"],
+        [["a", 1.5, "x"], ["b", 2.0, None], ["c", 3.25, "z"]],
+    )
+    df = load_xlsx(spark, p)
+    rows = {r["name"]: r for r in df.collect()}
+    assert df.schema["usage"].dataType.simpleString() == "double"
+    assert df.schema["name"].dataType.simpleString() == "string"
+    assert rows["a"]["usage"] == 1.5
+    assert rows["b"]["note"] == "NULL"  # missing string → "NULL" convention
+    # projection (reference requiredColumns)
+    df2 = load_xlsx(spark, p, required_columns=["name", "usage"])
+    assert df2.columns == ["name", "usage"]
+
+
+@pytest.fixture()
+def http_csv_server():
+    import http.server
+
+    payload = (
+        b"name,usage\nalpha,1.5\nbeta,2.5\n_END_PART_\n"
+        b"name,usage\ngamma,9.0\n_END_PART_\nname,usage\ndelta,4.0\n"
+    )
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}/data.csv"
+    srv.shutdown()
+
+
+def test_load_http_csv(spark, http_csv_server):
+    df = load_http_csv(spark, http_csv_server, double_cols=["usage"])
+    # one-shot load sees the whole body as one CSV (sentinels become rows)
+    assert "name" in df.columns and "usage" in df.columns
+
+
+def test_stream_http_csv_parts(spark, http_csv_server):
+    parts = []
+    n = stream_http_csv(
+        spark, http_csv_server, lambda df: parts.append(df.collect()), double_cols=["usage"]
+    )
+    assert n == 3
+    assert [len(p) for p in parts] == [2, 1, 1]
+    assert parts[1][0]["name"] == "gamma" and parts[1][0]["usage"] == 9.0
+    assert parts[2][0]["name"] == "delta"  # trailing unterminated part
+
+
+def test_jdbc_reader_options():
+    opts = jdbc_reader_options(
+        "jdbc:postgresql://h/db", "events",
+        partition_column="event_id", lower_bound=0, upper_bound=1_000_000,
+        num_partitions=64, fetch_size=5000, user="u",
+    )
+    assert opts["partitionColumn"] == "event_id"
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "5000"
+    assert opts["user"] == "u"
+    with pytest.raises(ValueError):
+        jdbc_reader_options("jdbc:x", "t", partition_column="a")
