@@ -57,3 +57,14 @@ def test_grid_search_orders_results():
     scores = [s for _, s in res]
     assert scores == sorted(scores, reverse=True)
     assert scores[0] > 0.85
+
+
+def test_memory_profiler(spark):
+    from macrobase_spark.functions.profiler import MemoryProfiler
+
+    prof = MemoryProfiler(spark)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    report = prof.peak()
+    assert report["driver_peak_rss_mb"] > 10
+    assert report["driver_delta_mb"] >= 0
+    assert isinstance(report.get("executors", []), list)
