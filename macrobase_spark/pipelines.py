@@ -66,7 +66,7 @@ def _load(spark: SparkSession, conf: dict, base_dir: str) -> DataFrame:
     if scheme == "csv":
         chain_metrics = [
             m for c in conf.get("classifiers", []) for m in c.get("metricColumns", [])
-        ]
+        ] + list(conf.get("metricColumns", []))
         doubles = [
             c
             for c in [
@@ -331,6 +331,92 @@ def _summarize(
             max_order=max_order,
         )
     raise ValueError(f"bad summarizer {kind!r}")
+
+
+def run_explanation_config(
+    spark: SparkSession, conf: dict, base_dir: str = ""
+) -> DataFrame:
+    """The alexp explanation-benchmark surface (reference
+    BenchmarkPipeline + Pipelines.getExplainer, Pipelines.java:245-283):
+    run the configured classifier (chain) over the dataset's metricColumns,
+    mark the top-`contamination` fraction as points-of-interest, then run
+    the configured subspace explainer over them.
+
+    conf keys (reference names): inputURI, metricColumns,
+    classifiers: [...] (chain; optional — default iforest over
+    metricColumns), explainer: {id: hics|beam|lookout|refout, parameters},
+    contamination (default 0.01).
+    """
+    from pyspark.sql import functions as F
+
+    metric_cols = list(conf["metricColumns"])
+    df = _load(spark, {**conf, "metric": None}, base_dir)
+    for c in metric_cols:
+        df = df.withColumn(c, F.col(c).cast("double"))
+    df = df.withColumn("_POINT_ID", F.monotonically_increasing_id())
+    chain = conf.get("classifiers") or [{"id": "iforest", "metricColumns": metric_cols}]
+    classified, out_col = classify_chain(df, list(chain))
+    contamination = float(conf.get("contamination", 0.01))
+    cut = classified.agg(
+        F.percentile_approx(out_col, 1.0 - contamination, 10000)
+    ).collect()[0][0]
+    flagged = classified.withColumn("_POI", F.col(out_col) >= F.lit(float(cut)))
+
+    ex = conf.get("explainer") or {"id": "beam"}
+    eid = (ex.get("id") or "beam").lower()
+    p = {**ex, **(ex.get("parameters") or {})}
+    ids = ["_POINT_ID"]
+    if eid == "hics":
+        from macrobase_spark.operators.hics import hics_subspace_explain
+
+        return hics_subspace_explain(
+            flagged,
+            metric_cols,
+            ids,
+            m=int(p.get("m", 50)),
+            alpha=float(p.get("alpha", 0.05)),
+            cutoff=int(p.get("cutoff", 400)),
+            dmax=int(p.get("dmax", -1)),
+            topk=int(p.get("topk", 10)),
+            stat_test=str(p.get("statTest", "welch_t")),
+        )
+    if eid == "beam":
+        from macrobase_spark.operators.subspace import beam_subspace_explain
+
+        return beam_subspace_explain(
+            flagged,
+            metric_cols,
+            ids,
+            max_dim=int(p.get("dmax", 2)),
+            beam_width=int(p.get("beamWidth", 100)),
+            top_k=int(p.get("topk", 2)),
+        )
+    if eid == "lookout":
+        from macrobase_spark.operators.subspace_explainers import lookout_explain
+
+        return lookout_explain(
+            flagged,
+            metric_cols,
+            ids,
+            "_POI",
+            budget=int(p.get("budget", 3)),
+            dimensionality=int(p.get("dimensionality", 2)),
+        )
+    if eid == "refout":
+        from macrobase_spark.operators.subspace_explainers import refout_explain
+
+        return refout_explain(
+            flagged,
+            metric_cols,
+            ids,
+            "_POI",
+            d1=float(p.get("d1", 0.7)),
+            d2=int(p.get("d2", 2)),
+            psize=int(p.get("psize", 100)),
+            beam_size=int(p.get("beamSize", 100)),
+            topk=int(p.get("topk", 5)),
+        )
+    raise ValueError(f"bad explainer id {eid!r}")
 
 
 def run_config(spark: SparkSession, conf: dict, base_dir: str = "") -> PipelineResult:

@@ -169,3 +169,37 @@ def test_classifier_chain_config(spark, tmp_path):
     assert "_OUTLIER1" in res.classified.columns
     got = {r["grp"]: r for r in res.explanation.collect()}
     assert "bad" in got and "ok" not in got
+
+
+def test_explanation_config(spark, tmp_path):
+    """alexp explanation-benchmark surface: classifier chain → POIs →
+    subspace explainer, driven purely by config (Pipelines.java:245-283)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    f0 = rng.normal(0, 1, n)
+    f1 = f0 + rng.normal(0, 0.05, n)
+    f2 = rng.normal(0, 1, n)
+    out_ids = [i for i in range(25) if abs(f0[i]) > 0.8]
+    for i in out_ids:
+        f1[i] = -f0[i]
+    rows = [(float(f0[i]), float(f1[i]), float(f2[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "m0 double, m1 double, m2 double")
+    path = str(tmp_path / "expl_input.parquet")
+    df.write.parquet(path)
+
+    from macrobase_spark.pipelines import run_explanation_config
+
+    for eid in ("beam", "lookout"):
+        res = run_explanation_config(
+            spark,
+            {
+                "inputURI": f"parquet://{path}",
+                "metricColumns": ["m0", "m1", "m2"],
+                "explainer": {"id": eid, "parameters": {"budget": 2, "topk": 2}},
+                "contamination": 0.05,
+            },
+        )
+        assert res.count() > 0
+        assert "__REL_SUBSPACES" in res.columns
