@@ -156,6 +156,43 @@ def _lattice_rounds(
             for i, a in enumerate(attrs)
         ]
     )
+
+    if not prune:
+        # no containment pruning ⇒ no inter-round dependency: every order's
+        # itemsets aggregate in ONE shuffle (explode the 1..max_order combos
+        # together). This is the full filtered cube — the oracle-expressible
+        # mode — so candidate sets aren't support-pruned between rounds
+        # anyway; the rounds would only add sequential job latency. With
+        # high-cardinality attribute sets prefer prune=True (the reference
+        # default), whose round-wise support pruning bounds the group count.
+        nullable_items = F.array(
+            *[
+                F.when(
+                    F.col(a).isNotNull(),
+                    F.struct(F.lit(i).alias("ai"), F.col(a).cast("string").alias("val")),
+                )
+                for i, a in enumerate(attrs)
+            ]
+        )
+        annotated = base.select(
+            *gcols, F.array_compact(nullable_items).alias(_ITEMS)
+        )
+        combos = F.concat(
+            *[_combos_expr(_ITEMS, k) for k in range(1, max_order + 1)]
+        )
+        rows = (
+            annotated.select(*gcols, F.explode(combos).alias("its"))
+            .groupBy("its")
+            .agg(*sums)
+            .filter(F.col("_g0") >= support_thresh)
+            .collect()
+        )
+        for r in rows:
+            items = tuple((it["ai"], it["val"]) for it in r["its"])
+            aggs = tuple(float(r[c]) for c in gcols)
+            if metric_fn(aggs) >= min_metric:
+                emitted.append((items, aggs))
+        return emitted
     surv1_rows = (
         base.select(*gcols, F.explode(item_structs).alias("it"))
         .filter(F.col("it.val").isNotNull())
