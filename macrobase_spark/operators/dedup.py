@@ -184,17 +184,24 @@ def simhash_signature(
     ~30× slower — Spark evaluates array lambdas interpreted, per element."""
     n_bits = simhash_bits(token_hash)
     if token_hash == "xxhash64":
-        hx = "w -> xxhash64(w)"
+        hx = "xxhash64(_w)"
     elif token_hash == "md5_60":
-        hx = "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as long)"
+        hx = "cast(conv(substring(md5(_w), 1, 15), 16, 10) as long)"
     else:
         raise ValueError(f"unknown token_hash {token_hash!r}")
-    toks = df.select(
-        id_col, F.explode(F.expr(f"transform(split({text_col}, ' '), {hx})")).alias("_h")
+    # collapse repeated tokens per doc BEFORE hashing: each distinct
+    # (doc, token) is hashed once and its vote weighted by the occurrence
+    # count — identical votes (sum over occurrences = count × ±1), one hash
+    # per distinct pair instead of per token instance
+    toks = (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(id_col, F.expr(hx).alias("_h"), "_n")
     )
     votes = [
         F.sum(
-            F.when(F.expr(f"(shiftright(_h, {i}) & 1) = 1"), 1).otherwise(-1)
+            F.when(F.expr(f"(shiftright(_h, {i}) & 1) = 1"), F.col("_n")).otherwise(-F.col("_n"))
         ).alias(f"_v{i}")
         for i in range(n_bits)
     ]
