@@ -150,3 +150,23 @@ def test_fused_suite_matches_component_functions(spark, suite):
         for r in suite.explanation.collect()
     }
     assert got_exp == ref_exp
+
+
+def test_files_scan_matches_jvm_scan(spark, tmp_path):
+    """run_suite_files (pyarrow-native columnar scan — the bench/scaling
+    path) must produce the same violations and verdicts as run_suite over
+    the same materialized table."""
+    from macrobase_spark.operators.checks import run_suite_files
+    from macrobase_spark.sources.clips import write_clips_table
+
+    n = 1500
+    path = str(tmp_path / "clips_files")
+    write_clips_table(spark, n, path, max_payload_ms=100)
+    a = run_suite(spark.read.parquet(path), generate_manifest(spark, n), SuiteConfig())
+    b = run_suite_files(spark, path, generate_manifest(spark, n), SuiteConfig())
+    va = {(r["clip_id"], r["check"], r["detail"]) for r in a.violations.collect()}
+    vb = {(r["clip_id"], r["check"], r["detail"]) for r in b.violations.collect()}
+    assert va == vb
+    da = {(r["codec"], r["check"]): r["n_violations"] for r in a.verdicts.collect()}
+    db = {(r["codec"], r["check"]): r["n_violations"] for r in b.verdicts.collect()}
+    assert da == db
