@@ -154,6 +154,29 @@ def count_mean_shift_classify(
     )
 
 
+def count_mean_shift_cube_classify(
+    df: DataFrame,
+    metric: str,
+    cmp: str,
+    value,
+    count_col: str = "count",
+    mean_col: str = "mean",
+) -> DataFrame:
+    """Cube flavor of the mean-shift classifier (reference
+    lib/.../classify/CountMeanShiftCubedClassifier.java:64-100): a cube row
+    matching the predicate contributes its WHOLE count as outliers and
+    mean·count to the outlier mean sum (weights, not 0/1 rows)."""
+    pred = predicate_expr(F.col(metric), cmp, value)
+    cnt = F.col(count_col).cast("double")
+    msum = F.col(mean_col).cast("double") * cnt
+    return (
+        df.withColumn("_OUTLIERCOUNT", F.when(pred, cnt).otherwise(0.0))
+        .withColumn("_INLIERCOUNT", F.when(pred, 0.0).otherwise(cnt))
+        .withColumn("_OUTLIERMEANSUM", F.when(pred, msum).otherwise(0.0))
+        .withColumn("_INLIERMEANSUM", F.when(pred, 0.0).otherwise(msum))
+    )
+
+
 def arithmetic_cube_classify(
     df: DataFrame,
     count_col: str = "count",

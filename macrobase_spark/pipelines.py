@@ -142,10 +142,16 @@ def _classify(df: DataFrame, conf: dict, cube: bool) -> DataFrame:
             count_col=conf.get("countColumn", "count"),
         )
     if kind in ("meanshift", "countmeanshift"):
-        from macrobase_spark.operators.classify import predicate_expr
+        from macrobase_spark.operators.classify import count_mean_shift_cube_classify
 
-        pred = predicate_expr(F.col(conf["metric"]), conf.get("predicate", "=="), conf["cutoff"])
-        return count_mean_shift_classify(df, conf["meanColumn"], pred)
+        return count_mean_shift_cube_classify(
+            df,
+            conf["metric"],
+            conf.get("predicate", "=="),
+            conf["cutoff"],
+            count_col=conf.get("countColumn", "count"),
+            mean_col=conf["meanColumn"],
+        )
     raise ValueError(f"bad cube classifier {kind!r}")
 
 

@@ -67,3 +67,18 @@ def test_simhash_near_dups(spark):
     assert h[(0, 1)] <= 10
     # no unrelated doc pairs survive verification
     assert all({a, b} <= {0, 1} for a, b in got)
+
+
+def test_count_mean_shift_cube_classify(spark):
+    """Cube rows matching the predicate contribute their whole weighted
+    count + mean·count (reference CountMeanShiftCubedClassifier)."""
+    from macrobase_spark.operators.classify import count_mean_shift_cube_classify
+
+    rows = [("a", 10.0, 5.0, 1.0), ("b", 20.0, 7.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, cnt double, mean double, t double")
+    out = {r["g"]: r for r in count_mean_shift_cube_classify(
+        df, "t", "==", 1.0, count_col="cnt", mean_col="mean").collect()}
+    assert out["a"]["_OUTLIERCOUNT"] == 10.0 and out["a"]["_OUTLIERMEANSUM"] == 50.0
+    assert out["a"]["_INLIERCOUNT"] == 0.0
+    assert out["b"]["_INLIERCOUNT"] == 20.0 and out["b"]["_INLIERMEANSUM"] == 140.0
+    assert out["b"]["_OUTLIERCOUNT"] == 0.0
