@@ -40,16 +40,19 @@ def clips_n(sf_dir: str) -> int:
     return max(int(sf * 1_000_000), 1000)
 
 
-def clips_table(spark, sf_dir: str):
-    """The clips table as a parquet scan — materialized once per size under
-    /tmp and reused, so every measured suite run has the production stage
-    shape (JVM scan → one Arrow scoring pass) instead of chaining two
-    Python stages (synth + score) per task."""
+def clips_table_path(spark, sf_dir: str) -> str:
+    """The clips table materialized once per size under /tmp and reused, so
+    every measured suite run has the production stage shape instead of
+    chaining two Python stages (synth + score) per task."""
     n = clips_n(sf_dir)
     path = f"/tmp/mb_bench_clips_v2_{n}.parquet"  # bump on fixture changes
     if not os.path.isfile(f"{path}/_SUCCESS"):
         write_clips_table(spark, n, path, max_payload_ms=100)
-    return spark.read.parquet(path)
+    return path
+
+
+def clips_table(spark, sf_dir: str):
+    return spark.read.parquet(clips_table_path(spark, sf_dir))
 
 
 def scored_parquet(spark, sf_dir: str) -> str:
@@ -103,12 +106,18 @@ _VIOL_ROWS_SQL = f"""
 
 @register("clips_validation_suite")  # rows-only: full suite incl. drift strings
 def clips_validation_suite_q(spark, sf_dir):
-    """Full check suite end-to-end (the engine's primary output relation);
-    its relational components are each oracle-certified by the queries
+    """Full check suite end-to-end (the engine's primary output relation)
+    over the pyarrow-native columnar scan — the same path the scaling bench
+    measures (run_suite_files == run_suite asserted in tests/test_clips.py).
+    Its relational components are each oracle-certified by the queries
     below, and the planted-violation ground truth is asserted exactly in
     tests/test_clips.py."""
+    from macrobase_spark.operators.checks import run_suite_files
+
     n = clips_n(sf_dir)
-    res = run_suite(clips_table(spark, sf_dir), generate_manifest(spark, n), SuiteConfig())
+    res = run_suite_files(
+        spark, clips_table_path(spark, sf_dir), generate_manifest(spark, n), SuiteConfig()
+    )
     return res.violations
 
 
