@@ -40,7 +40,9 @@ def main() -> int:
     spark = get_spark("mb-validate", master=args.master)
     t0 = time.time()
     if args.table:
-        clips = spark.read.parquet(args.table)
+        from macrobase_spark.sources.table_source import load_table
+
+        clips = load_table(spark, args.table)
         n_rows = clips.count()
         ref = generate_manifest(spark, n_rows)
     else:

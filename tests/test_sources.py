@@ -109,3 +109,16 @@ def test_jdbc_reader_options():
     assert opts["user"] == "u"
     with pytest.raises(ValueError):
         jdbc_reader_options("jdbc:x", "t", partition_column="a")
+
+
+def test_load_table_uris(spark, tmp_path):
+    from macrobase_spark.sources.table_source import load_table
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).write.parquet(p)
+    assert load_table(spark, f"parquet://{p}").count() == 5
+    assert load_table(spark, p).count() == 5
+    spark.range(7).createOrReplaceTempView("tbl_src_test")
+    assert load_table(spark, "table://tbl_src_test").count() == 7
+    with pytest.raises(ValueError):
+        load_table(spark, "ftp://x")
