@@ -29,6 +29,7 @@ import macrobase_spark.operators.clips_suite  # noqa: E402,F401
 import macrobase_spark.operators.detectors  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
+import macrobase_spark.operators.image  # noqa: E402,F401
 import macrobase_spark.operators.mcod  # noqa: E402,F401
 import macrobase_spark.operators.rrcf  # noqa: E402,F401
 import macrobase_spark.operators.subspace_explainers  # noqa: E402,F401

@@ -55,6 +55,8 @@ EXTRA = [
     "mcd_outliers_embeddings",
     "hics_subspace_embeddings",
     "explain_meandev_events",
+    "image_feature_stats",
+    "video_frame_stats",
 ]
 
 
@@ -70,6 +72,7 @@ def main() -> int:
     import macrobase_spark.operators.detectors  # noqa: F401
     import macrobase_spark.operators.hics  # noqa: F401
     import macrobase_spark.operators.hst  # noqa: F401
+    import macrobase_spark.operators.image  # noqa: F401
     import macrobase_spark.operators.mcod  # noqa: F401
     import macrobase_spark.operators.rrcf  # noqa: F401
     import macrobase_spark.operators.subspace_explainers  # noqa: F401

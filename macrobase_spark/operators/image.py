@@ -1,0 +1,292 @@
+"""Image + video columns as opaque binary with typed metadata — the
+multimodal plumbing mirror of operators/audio.py.
+
+Same discipline as the audio path: decode is REAL for a simple,
+dependency-free format (binary PPM `P6`, parsed with numpy — the image
+analogue of RIFF/PCM16 WAV), and the container-less runtime keeps
+jpeg/png/webp decode behind an honest NotImplementedError stub
+(`decode_compressed_image`) — the Spark-side plumbing (schema, Arrow
+batching, UDF shapes, partitioning) is identical either way, so swapping a
+real codec in is a one-function change.
+
+Operators:
+- `image_features`: mapInArrow pass → decode verdict + width/height +
+  channel means + luminance mean/std per image.
+- `resize_images`: nearest-neighbor resize (real numpy kernel), binary in →
+  binary out, the shape every preprocessing pipeline needs.
+- `sample_frames`: video frame sampling over a length-prefixed frame
+  container — one row in, every k-th frame out (mapInPandas explode); the
+  container here is the deterministic test fixture's, but the operator only
+  assumes "binary blob → list of frame blobs", which is what a real
+  demuxer plugs into.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# -- PPM (P6) codec: real, stdlib+numpy ------------------------------------
+
+
+def ppm_bytes(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(raw: bytes) -> np.ndarray | None:
+    """Binary PPM (P6, maxval 255) → (h, w, 3) uint8; None on corruption."""
+    if raw is None or len(raw) < 11 or raw[:2] != b"P6":
+        return None
+    try:
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+        parts = raw[2:].split(None, 3)
+        if len(parts) < 4:
+            return None
+        w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        data = parts[3]
+        need = w * h * 3
+        if len(data) < need:
+            return None
+        return np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, 3)
+    except (ValueError, IndexError):
+        return None
+
+
+def decode_compressed_image(fmt: str, raw: bytes):
+    """jpeg/png/webp decode — the runtime has no image codec libraries; the
+    surrounding plumbing is format-agnostic, so this is a one-function
+    swap (same contract as audio.decode_compressed)."""
+    raise NotImplementedError(f"decode for image format {fmt!r} requires external libraries")
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize — one fancy-index per axis, pure numpy."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+# -- Spark operators --------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("luma_mean", DoubleType()),
+        StructField("luma_std", DoubleType()),
+    ]
+)
+
+
+def image_features(df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """Binary column in, typed feature columns out — numpy per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            wd = np.zeros(n, dtype=np.int32)
+            ht = np.zeros(n, dtype=np.int32)
+            mr = np.zeros(n)
+            mg = np.zeros(n)
+            mb = np.zeros(n)
+            lm = np.zeros(n)
+            ls = np.zeros(n)
+            for i, raw in enumerate(pdf[bytes_col]):
+                img = decode_ppm(raw)
+                if img is None:
+                    continue
+                ok[i] = True
+                ht[i], wd[i] = img.shape[:2]
+                f = img.reshape(-1, 3).astype(np.float64)
+                mr[i], mg[i], mb[i] = f.mean(axis=0)
+                luma = f @ np.array([0.2126, 0.7152, 0.0722])
+                lm[i] = float(luma.mean())
+                ls[i] = float(luma.std())
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf[id_col].to_numpy(),
+                    "decode_ok": ok,
+                    "width": wd,
+                    "height": ht,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                    "luma_mean": lm,
+                    "luma_std": ls,
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("bytes", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, binary in binary out
+    (undecodable images pass through as NULL bytes with decode_ok=false)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks, outs = [], [], []
+            for i, raw in enumerate(pdf[bytes_col]):
+                img = decode_ppm(raw)
+                ids.append(pdf[id_col].iloc[i])
+                if img is None:
+                    oks.append(False)
+                    outs.append(None)
+                else:
+                    oks.append(True)
+                    outs.append(ppm_bytes(resize_nearest(img, out_w, out_h)))
+            yield pd.DataFrame({"image_id": ids, "decode_ok": oks, "bytes": outs})
+
+    return df.select(id_col, bytes_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+# -- video: length-prefixed frame container ---------------------------------
+
+VIDEO_MAGIC = b"FRMV"
+
+
+def video_bytes(frames: list[bytes]) -> bytes:
+    """Deterministic fixture container: magic + u32 count + (u32 len, blob)*."""
+    out = [VIDEO_MAGIC, len(frames).to_bytes(4, "little")]
+    for f in frames:
+        out.append(len(f).to_bytes(4, "little"))
+        out.append(f)
+    return b"".join(out)
+
+
+def split_video(raw: bytes) -> list[bytes] | None:
+    if raw is None or len(raw) < 8 or raw[:4] != VIDEO_MAGIC:
+        return None
+    n = int.from_bytes(raw[4:8], "little")
+    frames, pos = [], 8
+    for _ in range(n):
+        if pos + 4 > len(raw):
+            return None
+        ln = int.from_bytes(raw[pos : pos + 4], "little")
+        pos += 4
+        if pos + ln > len(raw):
+            return None
+        frames.append(raw[pos : pos + ln])
+        pos += ln
+    return frames
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 1, id_col: str = "video_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """One row per sampled frame (every k-th): the video-decode fan-out
+    shape — a row explodes into a variable number of frame rows inside the
+    Arrow batch, so downstream per-frame operators (image_features over
+    `frame`, embedding models, ...) compose directly. Corrupt containers
+    yield no rows (they surface via the features/validation path instead)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, blobs = [], [], []
+            for i, raw in enumerate(pdf[bytes_col]):
+                frames = split_video(raw)
+                if frames is None:
+                    continue
+                vid = pdf[id_col].iloc[i]
+                for j in range(0, len(frames), every_k):
+                    vids.append(vid)
+                    idxs.append(j)
+                    blobs.append(frames[j])
+            yield pd.DataFrame({"video_id": vids, "frame_idx": idxs, "frame": blobs})
+
+    return df.select(id_col, bytes_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# registered queries (rows-only: the images/videos fixture is synthesized so
+# DuckDB has no view of it; gates = tests/test_image.py exact planted
+# recovery + feature-value equality)
+# ---------------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from macrobase_spark.queries import register  # noqa: E402
+
+
+def _images_n(sf_dir: str) -> int:
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    return max(int(sf * 40_000), 400)
+
+
+@register("image_feature_stats")  # rows-only
+def image_feature_stats(spark, sf_dir: str) -> DataFrame:
+    """Per-label image profile over the deterministic fixture: decode rate +
+    channel/luma means — the image analogue of clips_snr_stats."""
+    from macrobase_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, _images_n(sf_dir))
+    feats = image_features(imgs).join(imgs.select("image_id", "label"), "image_id")
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("luma_mean"))), 4).alias("avg_luma"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("mean_r"))), 4).alias("avg_r"),
+    )
+
+
+@register("video_frame_stats")  # rows-only
+def video_frame_stats(spark, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out + per-frame feature extraction composed: every
+    2nd frame of each video, decoded and profiled per video."""
+    from macrobase_spark.sources.images import generate_videos
+
+    n = max(_images_n(sf_dir) // 10, 40)
+    frames = sample_frames(generate_videos(spark, n), every_k=2)
+    feats = image_features(frames, id_col="video_id", bytes_col="frame")
+    return feats.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg("luma_mean"), 4).alias("avg_luma"),
+    ).withColumnRenamed("image_id", "video_id")

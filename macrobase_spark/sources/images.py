@@ -1,0 +1,101 @@
+"""Deterministic synthetic images/videos tables — the multimodal fixture
+mirror of sources/clips.py (pure functions of the row id; identical at any
+partitioning).
+
+Planted violations:
+- corrupt payload      id % 97 == 5   (garbage bytes, no P6 magic)
+- truncated payload    id % 131 == 7  (header promises more pixels)
+
+Every clean image is a deterministic two-tone gradient whose channel means
+are exactly computable, so feature extraction is testable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from macrobase_spark.operators.audio import splitmix64
+from macrobase_spark.operators.image import ppm_bytes, video_bytes
+
+LABELS = ["photo", "chart", "scan", "render"]
+SIZES = [(32, 24), (48, 32), (64, 48)]
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, width int, height int, fmt string, label string"
+)
+
+
+def image_array(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient: R ramps over x, G over y, B constant per id."""
+    r = np.tile((np.arange(w) * 255 // max(w - 1, 1)).astype(np.uint8), (h, 1))
+    g = np.tile(
+        (np.arange(h) * 255 // max(h - 1, 1)).astype(np.uint8)[:, None], (1, w)
+    )
+    b = np.full((h, w), int(splitmix64(np.array([i], dtype=np.uint64))[0] % 256), np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
+def _image_payload(i: int, w: int, h: int) -> bytes:
+    if i % 97 == 5:  # corrupt: hash noise, no magic
+        return splitmix64(np.arange(32, dtype=np.uint64) + np.uint64(i)).astype("<u8").tobytes()
+    raw = ppm_bytes(image_array(i, w, h))
+    if i % 131 == 7:  # truncated
+        return raw[: len(raw) // 2]
+    return raw
+
+
+def generate_images(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = SIZES[i % len(SIZES)]
+                rows.append(
+                    (
+                        f"img_{i:010d}",
+                        _image_payload(i, w, h),
+                        w,
+                        h,
+                        "ppm",
+                        LABELS[i % len(LABELS)],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "width", "height", "fmt", "label"]
+            )
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def generate_videos(
+    spark: SparkSession, n: int, frames_per_video: int = 8, partitions: int | None = None
+) -> DataFrame:
+    """Videos = FRMV containers of PPM frames (frame f of video i is the
+    gradient image of id i*1000+f)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = SIZES[i % len(SIZES)]
+                frames = [
+                    ppm_bytes(image_array(i * 1000 + f, w, h))
+                    for f in range(frames_per_video)
+                ]
+                raw = video_bytes(frames)
+                if i % 53 == 3:  # planted: truncated container
+                    raw = raw[: len(raw) // 3]
+                rows.append((f"vid_{i:010d}", raw, frames_per_video))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "n_frames"])
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        gen, "video_id string, bytes binary, n_frames int"
+    )
