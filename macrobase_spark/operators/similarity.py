@@ -109,13 +109,27 @@ def cosine_dup_pairs(
     vec_col: str,
     threshold: float = 0.3,
     block_rows: int = 2048,
+    max_blocks: int = 256,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, via blocked GEMM: rows hash into
     nb blocks, blocks are collected into (block, ids, matrix) rows, the
     nb(nb+1)/2 block pairs each run one numpy matmul and emit only pairs
-    above threshold."""
+    above threshold.
+
+    This is the EXACT path: the block-pair join replicates each block nb
+    times (O(n·nb) shuffle bytes), so it is deliberately bounded —
+    `max_blocks` caps the corpus at max_blocks × block_rows rows (~0.5M at
+    the defaults) and raises past it. At corpus scale use
+    `lsh_cosine_candidates` (bucketed, near-linear) and reserve this as the
+    verifier over candidate buckets."""
     n = df.count()
     nb = max(1, math.ceil(n / block_rows))
+    if nb > max_blocks:
+        raise ValueError(
+            f"cosine_dup_pairs is the exact O(n·nb)-shuffle path: {n} rows → "
+            f"{nb} blocks exceeds max_blocks={max_blocks}; use "
+            "lsh_cosine_candidates at this scale (or raise block_rows/max_blocks)"
+        )
     v = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("blk"),
         F.col(id_col).alias("id"),

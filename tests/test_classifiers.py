@@ -82,3 +82,33 @@ def test_count_mean_shift_cube_classify(spark):
     assert out["a"]["_INLIERCOUNT"] == 0.0
     assert out["b"]["_INLIERCOUNT"] == 20.0 and out["b"]["_INLIERMEANSUM"] == 140.0
     assert out["b"]["_OUTLIERCOUNT"] == 0.0
+
+
+def test_candidate_counts_scale_linearly(spark):
+    """Bucketed dedup/ANN candidate sets must grow ~linearly in corpus size
+    (the r1 verdict's scale criterion): 10x documents must NOT produce
+    quadratic (100x) candidate growth."""
+    from macrobase_spark.operators.dedup import minhash_lsh_candidates, simhash_candidates
+    from macrobase_spark.operators.similarity import lsh_cosine_candidates
+
+    import pyspark.sql.functions as F
+
+    counts = {}
+    for sf in ("sf0.01", "sf0.1"):
+        d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        e = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        dim = len(e.select("embedding").first()[0])
+        counts[sf] = {
+            "docs": d.count(),
+            "minhash": minhash_lsh_candidates(d, "doc_id", "text").count(),
+            "simhash": simhash_candidates(d, "doc_id", "text", token_hash="md5_60").count(),
+            "ann": lsh_cosine_candidates(
+                e, "vec_id", "embedding", dim=dim, n_planes=10, n_tables=2
+            ).count(),
+        }
+    growth_docs = counts["sf0.1"]["docs"] / counts["sf0.01"]["docs"]
+    for k in ("minhash", "simhash", "ann"):
+        lo, hi = counts["sf0.01"][k], counts["sf0.1"][k]
+        growth = hi / max(lo, 1)
+        # near-linear: well under quadratic (growth_docs^2) at 10x data
+        assert growth < growth_docs * 4, (k, counts)
