@@ -89,3 +89,34 @@ def ndcg_at_k(scores, labels, k: int) -> float:
     ideal = np.sort(labels)[::-1][:k]
     idcg = float((ideal * discounts[: len(ideal)]).sum())
     return dcg / idcg if idcg else 0.0
+
+
+def nab_score(
+    flags,
+    labels,
+    tp_weight: float = 1.0,
+    fp_weight: float = 0.11,
+    fn_weight: float = 1.0,
+) -> float:
+    """Numenta-style anomaly benchmark score (reference alexp/.../
+    evaluation/NabScore.java, the "crude" position-free variant): skipping
+    the first 10% probation period, the FIRST detection inside a label
+    window scores +tp_weight, detections outside any window score
+    -fp_weight each, and an undetected window scores -fn_weight at its
+    close."""
+    flags = np.asarray(flags, dtype=bool)
+    labels = np.asarray(labels, dtype=np.int64)
+    tp = fp = fn = 0.0
+    window_handled = False
+    for i in range(len(flags) // 10, len(flags)):
+        if flags[i]:
+            if labels[i] == 1 and not window_handled:
+                tp += tp_weight
+                window_handled = True
+            if labels[i] == 0:
+                fp -= fp_weight
+        if labels[i] == 0 and labels[i - 1] == 1:
+            if not window_handled:
+                fn -= fn_weight
+            window_handled = False
+    return tp + fp + fn

@@ -153,3 +153,18 @@ def test_loci_spark_scores(spark, planted):
     for r in scored:
         s[r["id"]] = r["_SCORE"]
     assert roc_auc(s, y) > 0.85
+
+
+def test_nab_score():
+    from macrobase_spark.functions.evaluation import nab_score
+
+    labels = np.zeros(100, dtype=int)
+    labels[50:60] = 1  # one anomaly window
+    hit = np.zeros(100, dtype=bool)
+    hit[55] = True
+    assert nab_score(hit, labels) == pytest.approx(1.0)  # first in-window detection
+    miss = np.zeros(100, dtype=bool)
+    assert nab_score(miss, labels) == pytest.approx(-1.0)  # window closes undetected
+    noisy = hit.copy()
+    noisy[20] = True  # one false positive
+    assert nab_score(noisy, labels) == pytest.approx(1.0 - 0.11)
