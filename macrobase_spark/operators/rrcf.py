@@ -162,10 +162,12 @@ class RRCFTree:
             parent.l = nb
         else:
             parent.r = nb
-        self._bump_ancestors(nb, start_at_parent=True)
+        self._bump_ancestors(nb)
 
-    def _bump_ancestors(self, node, start_at_parent: bool = False) -> None:
-        cur = node.u if not start_at_parent else node.u
+    def _bump_ancestors(self, node) -> None:
+        """+1 on every ancestor (the grafted branch / duplicated leaf already
+        carries its own updated n)."""
+        cur = node.u
         while cur is not None:
             cur.n += 1
             cur = cur.u
