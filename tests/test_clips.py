@@ -170,3 +170,25 @@ def test_files_scan_matches_jvm_scan(spark, tmp_path):
     da = {(r["codec"], r["check"]): r["n_violations"] for r in a.verdicts.collect()}
     db = {(r["codec"], r["check"]): r["n_violations"] for r in b.verdicts.collect()}
     assert da == db
+
+
+def test_cache_strategies_equivalent(spark, tmp_path):
+    """cfg.cache='persist' (replicated, lineage kept) and 'checkpoint'
+    (reliable) must produce the same suite results as the bench-default
+    localCheckpoint."""
+    clips = generate_clips(spark, 800)
+    manifest = generate_manifest(spark, 800)
+    base = run_suite(clips, manifest, SuiteConfig(cache="local"))
+    ref = {(r["clip_id"], r["check"]) for r in base.violations.collect()}
+
+    got_p = run_suite(clips, manifest, SuiteConfig(cache="persist"))
+    assert {(r["clip_id"], r["check"]) for r in got_p.violations.collect()} == ref
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got_c = run_suite(clips, manifest, SuiteConfig(cache="checkpoint"))
+    assert {(r["clip_id"], r["check"]) for r in got_c.violations.collect()} == ref
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_suite(clips, manifest, SuiteConfig(cache="bogus"))
