@@ -164,10 +164,17 @@ def stream_mcod(
     min_neighbors: int = 30,
     window_size: int = 256,
     slide: int = 256,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key MCOD over a stream: state = (arrival counter, tail of W-S
     coordinate rows + their times); every completed slide runs one
-    vectorized detection and emits the slide's rows. outputMode('append')."""
+    vectorized detection and emits the slide's rows. outputMode('append').
+
+    idle_timeout_ms: drop a key's buffered state after this much processing
+    time with no arrivals — the state-GC a 10^6-key deployment needs (a key
+    resuming later restarts its count windows; partial-slide points of an
+    evicted key are never scored, matching the reference's never-processed
+    trailing slide)."""
     W, S, k = window_size, slide, min_neighbors
     d = len(feature_cols)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -195,6 +202,10 @@ def stream_mcod(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return
         if state.exists:
             n_seen, wid, buf_t, buf_x = state.get
             buf_t = list(buf_t)
@@ -231,6 +242,8 @@ def stream_mcod(
                 buf_t = buf_t[S:]
                 X = X[S:]
         state.update((n_seen, wid, list(buf_t), [float(v) for v in X.ravel()]))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return (
@@ -240,7 +253,13 @@ def stream_mcod(
         )
         .groupBy("key")
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout,
         )
     )
 

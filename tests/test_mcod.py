@@ -121,3 +121,38 @@ def test_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from mcodstream").collect()
     }
     assert got == batch
+
+
+def test_stream_with_idle_timeout_smoke(spark, tmp_path):
+    """idle_timeout_ms enables ProcessingTimeTimeout state GC; within one
+    fast run the timeout never fires, so results equal the no-timeout path."""
+    rng = np.random.default_rng(2)
+    rows = [(int(i), "k", float(v)) for i, v in enumerate(rng.normal(0, 5, 120))]
+    df = spark.createDataFrame(rows, "t long, key string, value double")
+    src = str(tmp_path / "mcod_to_src")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("t long, key string, value double").parquet(src)
+    )
+    out = stream_mcod(
+        stream, "key", ["value"], "t", max_distance=2.0, min_neighbors=3,
+        window_size=50, slide=25, idle_timeout_ms=600_000,
+    )
+    ref = {
+        r["t"] for r in mcod_batch(
+            df, ["value"], "t", max_distance=2.0, min_neighbors=3,
+            window_size=50, slide=25,
+        ).collect()
+    }
+    q = out.writeStream.format("memory").queryName("mcodto").outputMode("append").start()
+    # with ProcessingTimeTimeout the engine keeps scheduling timeout-check
+    # batches, so processAllAvailable() never returns — poll instead
+    import time as _time
+
+    deadline = _time.time() + 90
+    got: set = set()
+    while _time.time() < deadline and len(got) < len(ref):
+        _time.sleep(1.0)
+        got = {r["t"] for r in spark.sql("select * from mcodto").collect()}
+    q.stop()
+    assert got == ref
