@@ -254,6 +254,7 @@ def stream_hst(
     model: HSTModel,
     window_size: int = 256,
     forget_threshold: int = 0,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key evolving HST: the broadcast forest structure is static; the
     per-key leaf-mass vector lives in stream state. Each completed count
@@ -288,6 +289,10 @@ def stream_hst(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         feat, thr, depth_limit = struct
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # idle-key GC: evolving masses restart from the
+            yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return          # trained forest on the key's next arrival
         if state.exists:
             wid, buf_t, buf_x, masses = state.get
             buf_t = list(buf_t)
@@ -331,6 +336,8 @@ def stream_hst(
                 [float(v) for v in m.mass.ravel()],
             )
         )
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return (
@@ -341,7 +348,13 @@ def stream_hst(
         )
         .groupBy("key")
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout,
         )
     )
 

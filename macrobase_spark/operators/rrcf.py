@@ -309,6 +309,7 @@ def stream_rrcf(
     time_col: str,
     forest: RRCFForest,
     forget_threshold: int | None = None,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key evolving RRCF: the forest (pointer structure + rng state)
     lives pickled in a BinaryType state column; every point runs the
@@ -332,6 +333,10 @@ def stream_rrcf(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # idle-key GC: the key restarts from the trained forest
+            yield pd.DataFrame(columns=[fld.name for fld in out_schema.fields])
+            return
         blob = state.get[0] if state.exists else init_blob
         f: RRCFForest = pickle.loads(bytes(blob))
         rows = []
@@ -343,6 +348,8 @@ def stream_rrcf(
             for i in range(len(X)):
                 rows.append((key[0], int(ts[i]), f.update_and_score(X[i])))
         state.update((pickle.dumps(f),))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(rows, columns=[fld.name for fld in out_schema.fields])
 
     return (
@@ -353,7 +360,13 @@ def stream_rrcf(
         )
         .groupBy("key")
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout,
         )
     )
 
