@@ -261,6 +261,102 @@ def lsh_cosine_candidates(
     )
 
 
+def _kmeans(X: np.ndarray, k: int, iters: int = 12, seed: int = 7) -> np.ndarray:
+    """Plain Lloyd k-means on unit-normalized vectors (numpy, seeded) —
+    the IVF coarse quantizer, fit on a driver sample."""
+    rng = np.random.default_rng(seed)
+    Xn = _normalize(X)
+    C = Xn[rng.choice(len(Xn), size=min(k, len(Xn)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = Xn[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    train_rows: int = 8192,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors — the scale path the brief
+    names alongside LSH: a k-means coarse quantizer (fit on a seeded driver
+    sample, broadcast) partitions the corpus into inverted lists; each query
+    probes only its `n_probe` nearest centroids, so the scored fraction is
+    ~n_probe/n_centroids of the corpus instead of all of it. One map pass:
+    per Arrow batch, rows are assigned to centroids and each query scores
+    only the rows in its probe set (mask + one GEMM); global top-k via the
+    same window-rank reduction as brute_force_topk. Returns
+    (query_id, nbr_id, rnk, cos)."""
+    from pyspark.sql import Window
+
+    sample = (
+        corpus.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(train_rows)
+        .toPandas()
+    )
+    C = _kmeans(_as_matrix(sample[vec_col]), n_centroids, seed=seed)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows])
+    q_mat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
+    probe = np.argsort(-(q_mat @ C.T), axis=1)[:, : min(n_probe, len(C))]
+    bc = corpus.sparkSession.sparkContext.broadcast((C, q_ids, q_mat, probe))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("nbr_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cb, qids, qm, pr = bc.value
+        probe_sets = [set(p) for p in pr]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = _normalize(_as_matrix(pdf[vec_col]))
+            assign = (m @ Cb.T).argmax(axis=1)
+            sims = m @ qm.T  # (rows, queries); masked per query below
+            for qi in range(len(qids)):
+                mask = np.isin(assign, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                col = sims[mask, qi]
+                keep = min(k + 1, len(col))
+                top = np.argpartition(-col, keep - 1)[:keep]
+                rows = np.where(mask)[0][top]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids[qi], len(top)),
+                        "nbr_id": ids[rows],
+                        "cos": sims[rows, qi],
+                    }
+                )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        cand.filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "rnk", F.round("cos", 6).alias("cos"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------
@@ -307,6 +403,15 @@ def ann_brute_force_topk_q(spark, sf_dir):
 def embedding_cosine_dup_q(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
+
+
+@register("ann_ivf_topk")  # rows-only: the coarse quantizer is engine-local
+def ann_ivf_topk_q(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=5, n_centroids=32, n_probe=8,
+    )
 
 
 @register("ann_lsh_candidates")  # rows-only: bucketing is engine-local
