@@ -84,6 +84,11 @@ def percentile_classify(
     """
     p = percentile / 100.0
     if method == "r6":
+        # r6 needs a second aggregation by construction: the adjusted
+        # fraction (p(n+1)-1)/(n-1) depends on n BEFORE the percentile can
+        # be evaluated, and Spark's percentile aggregate takes the fraction
+        # as a literal. The count scans one column of the (typically cached)
+        # input; r7 (the default) stays single-pass.
         n = df.count()
 
         def adj(q: float) -> float:
