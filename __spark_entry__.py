@@ -45,11 +45,19 @@ def entry(spark: SparkSession) -> DataFrame:
     the driver evaluates Spark queries vs oracles."""
     try:
         from macrobase_spark.operators.clips_suite import manifest_parquet, scored_parquet
+        from macrobase_spark.operators.image import (
+            image_features_parquet,
+            video_frame_features_parquet,
+        )
+        from macrobase_spark.operators.similarity import ivf_artifacts_parquet
 
         scored_parquet(spark, "/root/testdata/sf0.01")
         manifest_parquet(spark, "/root/testdata/sf0.01")
+        image_features_parquet(spark, "/root/testdata/sf0.01")
+        video_frame_features_parquet(spark, "/root/testdata/sf0.01")
+        ivf_artifacts_parquet(spark, "/root/testdata/sf0.01")
     except Exception:
-        pass  # the smoke check must not fail on clips pre-materialization
+        pass  # the smoke check must not fail on artifact pre-materialization
     return _Q.QUERIES["explain_risk_ratio_events"](spark, "/root/testdata/sf0.001")
 
 

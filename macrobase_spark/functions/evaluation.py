@@ -115,8 +115,12 @@ def nab_score(
                 window_handled = True
             if labels[i] == 0:
                 fp -= fp_weight
-        if labels[i] == 0 and labels[i - 1] == 1:
+        prev = labels[i - 1] if i > 0 else 0  # no wrap-around at i==0
+        if labels[i] == 0 and prev == 1:
             if not window_handled:
                 fn -= fn_weight
             window_handled = False
+    # a window still open at end-of-sequence never hits the close condition
+    if len(labels) and labels[-1] == 1 and not window_handled:
+        fn -= fn_weight
     return tp + fp + fn

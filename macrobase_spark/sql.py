@@ -26,6 +26,7 @@ other SQL should go straight to spark.sql.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -72,7 +73,31 @@ class MacroBaseSQL:
         CSVs at `path`) rather than driver-collecting it."""
         n = df.limit(self.MAX_COLLECT_ROWS + 1).count()
         if n > self.MAX_COLLECT_ROWS:
-            df.write.mode("overwrite").option("header", True).csv(path)
+            # distributed spill, SAME output contract as the pandas path:
+            # one file at `path`, null/NaN -> empty field, inf -> "inf".
+            # Executors write part CSVs in parallel; the driver then does a
+            # cheap sequential file-level concat (no row ever materializes
+            # in driver memory).
+            import glob
+            import shutil
+
+            tmp = path + ".__parts__"
+            (
+                df.write.mode("overwrite")
+                .option("header", False)
+                .option("nullValue", "")
+                .option("nanValue", "")
+                .option("positiveInf", "inf")
+                .option("negativeInf", "-inf")
+                .option("emptyValue", "")
+                .csv(tmp)
+            )
+            with open(path, "w", encoding="utf-8") as out:
+                out.write(",".join(df.columns) + "\n")
+                for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+                    with open(part, encoding="utf-8") as f:
+                        shutil.copyfileobj(f, out)
+            shutil.rmtree(tmp, ignore_errors=True)
             return
         pdf = df.toPandas()
         pdf.to_csv(path, index=False)
