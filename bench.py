@@ -46,10 +46,11 @@ HEADLINE = [
     "clips_validation_suite",
 ]
 
-# round-2 operators: timed and reported per-query, but kept OUT of the
+# round-2+ operators: timed and reported per-query, but kept OUT of the
 # headline total so `value` stays comparable across rounds (same 22 queries)
 EXTRA = [
     "mcod_outliers_events",
+    "mcod_outliers_keyed",
     "hst_outliers_embeddings",
     "rrcf_outliers_embeddings",
     "mcd_outliers_embeddings",
@@ -57,7 +58,31 @@ EXTRA = [
     "explain_meandev_events",
     "image_feature_stats",
     "video_frame_stats",
+    "dedup_simhash_prod",
 ]
+
+
+def _bench_only_queries() -> dict:
+    """Entries timed by the bench but NOT in the driver correctness gate:
+    production configs whose hashes aren't engine-portable, and full-kernel
+    pipelines whose registered twins read materialized relations so their
+    oracle can certify them."""
+    from macrobase_spark.operators.dedup import simhash_candidates
+    from macrobase_spark.operators.image import (
+        image_feature_stats_pipeline,
+        video_frame_stats_pipeline,
+    )
+
+    def dedup_simhash_prod(spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # production defaults: xxhash64 token hash + max_bucket guard
+        return simhash_candidates(d, "doc_id", "text")
+
+    return {
+        "dedup_simhash_prod": dedup_simhash_prod,
+        "image_feature_stats": image_feature_stats_pipeline,
+        "video_frame_stats": video_frame_stats_pipeline,
+    }
 
 
 def main() -> int:
@@ -91,23 +116,31 @@ def main() -> int:
 
     spark.range(0, cpus * 2, numPartitions=cpus * 2).mapInPandas(_ident, "id long").count()
 
+    # pinned timing: best-of-REPS per query (VERDICT r2 item 2 — a single
+    # run is hostage to neighbor steal on the shared sandbox host; the min
+    # is the engine's number)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    bench_only = _bench_only_queries()
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
     for name in HEADLINE + EXTRA:
-        fn = Q.QUERIES.get(name)
+        fn = bench_only.get(name) or Q.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
+        best, n = None, 0
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         if name == "clips_validation_suite":
             from macrobase_spark.operators.clips_suite import clips_n
 
-            extra["clips_per_sec"] = round(clips_n(sf_dir) / dt, 1)
+            extra["clips_per_sec"] = round(clips_n(sf_dir) / best, 1)
             extra["clips_n"] = clips_n(sf_dir)
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {best:.2f}s rows={n} (best of {reps})", file=sys.stderr)
 
     total = round(sum(v for k, v in timings.items() if k in HEADLINE), 3)
     extra["extra_total"] = round(sum(v for k, v in timings.items() if k in EXTRA), 3)

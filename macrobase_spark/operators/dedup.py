@@ -259,6 +259,10 @@ def simhash_candidates(
         ).alias("bk"),
     )
     if max_bucket is not None:
+        # the narrow (doc, simhash, band-key) relation is consumed three
+        # times below (bucket counts, keep-join, pair self-join); checkpoint
+        # it so the token-explode + 60-vote signature lineage runs ONCE
+        bands = bands.localCheckpoint(eager=True)
         counts = bands.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
         dropped = counts.filter(F.col("_n") > max_bucket)
         n_dropped = dropped.count()  # group-grained, bounded by key space

@@ -420,10 +420,13 @@ def iforest_score(
     train_rows: int = 4096,
     seed: int = 42,
     score_col: str = "_SCORE",
+    model: IForest | None = None,
 ) -> DataFrame:
-    """Isolation-forest scores for every row; model fit on a seeded sample."""
-    sample = _collect_sample(df, feature_cols, train_rows, seed)
-    model = fit_isolation_forest(sample, n_trees=n_trees, subsample=subsample, seed=seed)
+    """Isolation-forest scores for every row; model fit on a seeded sample
+    (or passed pre-fit via `model`)."""
+    if model is None:
+        sample = _collect_sample(df, feature_cols, train_rows, seed)
+        model = fit_isolation_forest(sample, n_trees=n_trees, subsample=subsample, seed=seed)
     return _score_with(df, feature_cols, id_cols, model, "iforest", score_col)
 
 
@@ -515,12 +518,124 @@ from macrobase_spark.queries import register  # noqa: E402
 _DIMS = 8
 
 
-@register("iforest_outliers_embeddings")  # rows-only
+IFOREST_MODEL_SCHEMA = (
+    "node long, feat long, thr double, lc long, rc long, "
+    "size long, depth long, root boolean, psi long"
+)
+
+
+def iforest_model_parquet(spark, sf_dir: str) -> str:
+    """Materialize the fitted isolation forest as a flat node relation so
+    the scoring walk — variable-depth descent to an external node, path
+    length depth + c(size), score 2^(-avg/c(psi)) — is SQL-expressible:
+    the DuckDB oracle unrolls max_depth (=log2(psi)=8) leaf-stay-put steps
+    over the SAME files (the HST recipe, VERDICT r2 item 9). The FIT stays
+    gated by tests/test_detectors.py planted-AUC + shuttle parity."""
+    import os
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_iforest_model_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        feats = [f"_f{i}" for i in range(_DIMS)]
+        df = array_col_to_features(e, "embedding", _DIMS)
+        sample = _collect_sample(df, feats, 4096, 42)
+        m = fit_isolation_forest(sample, n_trees=100, subsample=256, seed=42)
+        roots = set(int(r) for r in m.roots)
+        rows = [
+            (i, int(m.feat[i]), float(m.thr[i]), int(m.left[i]), int(m.right[i]),
+             int(m.size[i]), int(m.depth[i]), i in roots, int(m.psi))
+            for i in range(len(m.feat))
+        ]
+        spark.createDataFrame(rows, IFOREST_MODEL_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def load_iforest_model(spark, path: str) -> IForest:
+    pdf = spark.read.parquet(path).toPandas().sort_values("node")
+    return IForest(
+        feat=pdf["feat"].to_numpy(dtype=np.int32),
+        thr=pdf["thr"].to_numpy(dtype=np.float64),
+        left=pdf["lc"].to_numpy(dtype=np.int32),
+        right=pdf["rc"].to_numpy(dtype=np.int32),
+        size=pdf["size"].to_numpy(dtype=np.int32),
+        depth=pdf["depth"].to_numpy(dtype=np.int32),
+        roots=pdf.loc[pdf["root"], "node"].to_numpy(dtype=np.int32),
+        psi=int(pdf["psi"].iloc[0]),
+    )
+
+
+# correctness gate runs at sf0.01 -> 500 embedding rows; oracle fixed there
+_IFM = "read_parquet('/tmp/mb_iforest_model_v1_500.parquet/*.parquet')"
+
+_IFOREST_ORACLE = f"""
+    WITH nodes AS (SELECT * FROM read_parquet('/tmp/mb_iforest_model_v1_500.parquet/*.parquet')),
+    s0 AS (SELECT e.vec_id, e.embedding AS emb, n.node AS root, n.node
+           FROM embeddings e CROSS JOIN (SELECT node FROM nodes WHERE root) n),
+    s1 AS (SELECT p.vec_id, p.emb, p.root,
+                CASE WHEN n.feat < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s0 p JOIN nodes n ON n.node = p.node),
+    s2 AS (SELECT p.vec_id, p.emb, p.root,
+                CASE WHEN n.feat < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s1 p JOIN nodes n ON n.node = p.node),
+    s3 AS (SELECT p.vec_id, p.emb, p.root,
+                CASE WHEN n.feat < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s2 p JOIN nodes n ON n.node = p.node),
+    s4 AS (SELECT p.vec_id, p.emb, p.root,
+                CASE WHEN n.feat < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s3 p JOIN nodes n ON n.node = p.node),
+    s5 AS (SELECT p.vec_id, p.emb, p.root,
+                CASE WHEN n.feat < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s4 p JOIN nodes n ON n.node = p.node),
+    s6 AS (SELECT p.vec_id, p.emb, p.root,
+                CASE WHEN n.feat < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s5 p JOIN nodes n ON n.node = p.node),
+    s7 AS (SELECT p.vec_id, p.emb, p.root,
+                CASE WHEN n.feat < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s6 p JOIN nodes n ON n.node = p.node),
+    s8 AS (SELECT p.vec_id, p.emb, p.root,
+                CASE WHEN n.feat < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s7 p JOIN nodes n ON n.node = p.node),
+    leaf AS (SELECT p.vec_id, n.depth, n.size FROM s8 p
+             JOIN nodes n ON n.node = p.node),
+    pl AS (SELECT vec_id,
+                  avg(depth + CASE WHEN CAST(size AS DOUBLE) > 2 THEN 2.0 * (ln(CAST(size AS DOUBLE) - 1.0) + 0.5772156649015329) - 2.0 * (CAST(size AS DOUBLE) - 1.0) / CAST(size AS DOUBLE) WHEN CAST(size AS DOUBLE) = 2 THEN 1.0 ELSE 0.0 END) AS avg_path
+           FROM leaf GROUP BY vec_id),
+    cpsi AS (SELECT greatest(CASE WHEN psi > 2 THEN 2.0 * (ln(psi - 1.0) + 0.5772156649015329) - 2.0 * (psi - 1.0) / psi WHEN psi = 2 THEN 1.0 ELSE 0.0 END, 1e-12) AS c
+             FROM (SELECT CAST(any_value(psi) AS DOUBLE) AS psi FROM nodes)),
+    sc AS (SELECT vec_id, power(2.0, -avg_path / c) AS s FROM pl, cpsi),
+    rk AS (SELECT vec_id, s FROM sc ORDER BY s DESC, vec_id LIMIT 20)
+    SELECT vec_id, round(s, 4) AS score FROM rk
+"""
+
+
+@register("iforest_outliers_embeddings", _IFOREST_ORACLE)
 def iforest_outliers_embeddings(spark, sf_dir: str) -> DataFrame:
+    """20 most-isolated vectors under the materialized forest; the oracle
+    replays the exact descent + path-length correction in SQL."""
+    model = load_iforest_model(spark, iforest_model_parquet(spark, sf_dir))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     feats = [f"_f{i}" for i in range(_DIMS)]
     df = array_col_to_features(emb, "embedding", _DIMS)
-    scored = iforest_score(df, feats, ["vec_id"])
+    scored = iforest_score(df, feats, ["vec_id"], model=model)
     return scored.orderBy(F.desc("_SCORE"), "vec_id").limit(20).select(
         "vec_id", F.round("_SCORE", 4).alias("score")
     )

@@ -209,16 +209,19 @@ def hst_score(
     train_rows: int = 4096,
     seed: int = 42,
     score_col: str = "_SCORE",
+    model: HSTModel | None = None,
 ) -> DataFrame:
     """HST mass scores for every row (LOW = anomalous); forest fit on a
-    seeded driver sample, broadcast, scored via mapInPandas."""
+    seeded driver sample (or passed pre-fit via `model`), broadcast,
+    scored via mapInPandas."""
     from macrobase_spark.operators.detectors import _collect_sample
 
-    sample = _collect_sample(df, feature_cols, train_rows, seed)
-    model = fit_hst(
-        sample, n_trees=n_trees, subsample=subsample, n_dims=n_dims,
-        depth_limit=depth_limit, seed=seed,
-    )
+    if model is None:
+        sample = _collect_sample(df, feature_cols, train_rows, seed)
+        model = fit_hst(
+            sample, n_trees=n_trees, subsample=subsample, n_dims=n_dims,
+            depth_limit=depth_limit, seed=seed,
+        )
     if id_cols is None:
         in_df = df
         out_schema = StructType(list(df.schema.fields) + [StructField(score_col, DoubleType())])
@@ -369,15 +372,113 @@ from pyspark.sql import functions as F  # noqa: E402
 from macrobase_spark.queries import register  # noqa: E402
 
 
-@register("hst_outliers_embeddings")  # rows-only
+def hst_model_parquet(spark, sf_dir: str) -> str:
+    """Materialize the fitted HST forest as a (tree, node, feat, thr, mass)
+    relation — a few hundred KB — so the depth+ln(mass) scoring walk is
+    SQL-expressible: the DuckDB oracle below unrolls the fixed-depth
+    midpoint descent as 8 chained node-table joins over the SAME files
+    (VERDICT r2 item 9). The registered query loads the model back from
+    this parquet, so Spark and oracle provably score with one model; the
+    FIT stays gated by tests/test_hst.py + shuttle parity."""
+    import os
+
+    from macrobase_spark.operators.detectors import _collect_sample, array_col_to_features
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_hst_model_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        feats = [f"_f{i}" for i in range(8)]
+        df = array_col_to_features(e, "embedding", 8)
+        sample = _collect_sample(df, feats, 4096, 42)
+        model = fit_hst(sample, n_trees=50, depth_limit=8, seed=42)
+        rows = [
+            (int(t), int(node), int(model.feat[t, node]), float(model.thr[t, node]),
+             float(model.mass[t, node]))
+            for t in range(model.n_trees)
+            for node in range(model.feat.shape[1])
+        ]
+        spark.createDataFrame(
+            rows, "tree long, node long, feat long, thr double, mass double"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_hst_model(spark, path: str, depth_limit: int = 8) -> HSTModel:
+    pdf = spark.read.parquet(path).toPandas().sort_values(["tree", "node"])
+    n_trees = int(pdf["tree"].max()) + 1
+    n_nodes = (1 << (depth_limit + 1)) - 1
+    return HSTModel(
+        feat=pdf["feat"].to_numpy(dtype=np.int32).reshape(n_trees, n_nodes),
+        thr=pdf["thr"].to_numpy(dtype=np.float64).reshape(n_trees, n_nodes),
+        mass=pdf["mass"].to_numpy(dtype=np.float64).reshape(n_trees, n_nodes),
+        depth_limit=depth_limit,
+    )
+
+
+# correctness gate runs at sf0.01 -> 500 embedding rows; oracle fixed there
+_HSTM = "read_parquet('/tmp/mb_hst_model_v1_500.parquet/*.parquet')"
+
+_HST_ORACLE = f"""
+    WITH nodes AS (SELECT tree, node, feat, thr, mass FROM read_parquet('/tmp/mb_hst_model_v1_500.parquet/*.parquet')),
+    trees AS (SELECT DISTINCT tree FROM nodes),
+    s0 AS (SELECT e.vec_id, e.embedding AS emb, t.tree, 0 AS node
+           FROM embeddings e CROSS JOIN trees t),
+    s1 AS (SELECT p.vec_id, p.emb, p.tree,
+                2*p.node + CASE WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr
+                           THEN 1 ELSE 2 END AS node
+         FROM s0 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s2 AS (SELECT p.vec_id, p.emb, p.tree,
+                2*p.node + CASE WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr
+                           THEN 1 ELSE 2 END AS node
+         FROM s1 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s3 AS (SELECT p.vec_id, p.emb, p.tree,
+                2*p.node + CASE WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr
+                           THEN 1 ELSE 2 END AS node
+         FROM s2 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s4 AS (SELECT p.vec_id, p.emb, p.tree,
+                2*p.node + CASE WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr
+                           THEN 1 ELSE 2 END AS node
+         FROM s3 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s5 AS (SELECT p.vec_id, p.emb, p.tree,
+                2*p.node + CASE WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr
+                           THEN 1 ELSE 2 END AS node
+         FROM s4 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s6 AS (SELECT p.vec_id, p.emb, p.tree,
+                2*p.node + CASE WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr
+                           THEN 1 ELSE 2 END AS node
+         FROM s5 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s7 AS (SELECT p.vec_id, p.emb, p.tree,
+                2*p.node + CASE WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr
+                           THEN 1 ELSE 2 END AS node
+         FROM s6 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s8 AS (SELECT p.vec_id, p.emb, p.tree,
+                2*p.node + CASE WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr
+                           THEN 1 ELSE 2 END AS node
+         FROM s7 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    leaf AS (SELECT p.vec_id, n.mass FROM s8 p
+             JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    sc AS (SELECT vec_id,
+                  sum(CASE WHEN mass < 2 THEN 8.0
+                           ELSE 8.0 + ln(greatest(mass, 1e-300)) END) AS s
+           FROM leaf GROUP BY vec_id),
+    rk AS (SELECT vec_id, s FROM sc ORDER BY s ASC, vec_id LIMIT 20)
+    SELECT vec_id, round(s, 4) AS score FROM rk
+"""
+
+
+@register("hst_outliers_embeddings", _HST_ORACLE)
 def hst_outliers_embeddings(spark, sf_dir: str) -> DataFrame:
+    """20 lowest-mass (most anomalous) vectors under the materialized HST
+    forest; the oracle replays the exact midpoint descent in SQL."""
     from macrobase_spark.operators.detectors import array_col_to_features
 
+    model = load_hst_model(spark, hst_model_parquet(spark, sf_dir))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     feats = [f"_f{i}" for i in range(8)]
     df = array_col_to_features(emb, "embedding", 8)
-    scored = hst_score(df, feats, ["vec_id"], n_trees=50, depth_limit=8)
-    # LOW mass = anomalous → ascending
+    scored = hst_score(df, feats, ["vec_id"], model=model)
+    # LOW mass = anomalous -> ascending
     return scored.orderBy(F.asc("_SCORE"), "vec_id").limit(20).select(
         "vec_id", F.round("_SCORE", 4).alias("score")
     )

@@ -302,6 +302,41 @@ def video_frame_features_parquet(spark, sf_dir: str) -> str:
     return path
 
 
+def image_feature_stats_pipeline(spark, sf_dir: str) -> DataFrame:
+    """Full decode path (synthesize → decode → join → agg) in one plan —
+    the BENCH entry, so the timed number includes the kernel; the
+    registered correctness query reads the materialized feature parquet
+    instead so its oracle can see the same relation."""
+    from macrobase_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, _images_n(sf_dir))
+    feats = image_features(imgs).join(imgs.select("image_id", "label"), "image_id")
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("luma_mean"))), 4).alias("avg_luma"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("mean_r"))), 4).alias("avg_r"),
+    )
+
+
+def video_frame_stats_pipeline(spark, sf_dir: str) -> DataFrame:
+    """Full fan-out + decode path in one plan — the BENCH entry."""
+    from macrobase_spark.sources.images import generate_videos
+
+    n = max(_images_n(sf_dir) // 10, 40)
+    frames = sample_frames(generate_videos(spark, n), every_k=2)
+    feats = image_features(frames, id_col="video_id", bytes_col="frame")
+    return (
+        feats.groupBy("image_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+            F.round(F.avg("luma_mean"), 4).alias("avg_luma"),
+        )
+        .withColumnRenamed("image_id", "video_id")
+    )
+
+
 # correctness gate runs at sf0.01 → 400 images / 40 videos; oracle fixed there
 _IMGF = "read_parquet('/tmp/mb_imgfeat_v1_400.parquet/*.parquet')"
 _VIDF = "read_parquet('/tmp/mb_vidfeat_v1_40.parquet/*.parquet')"

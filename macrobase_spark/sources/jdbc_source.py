@@ -55,3 +55,66 @@ def load_jdbc(
         return spark.read.jdbc(url, table, predicates=predicates)
     opts = jdbc_reader_options(url, table, **kwargs)
     return spark.read.format("jdbc").options(**opts).load()
+
+
+def stream_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    id_column: str,
+    callback,
+    max_batch_size: int = 10000,
+    poll_interval: float = 1.0,
+    max_batches: int | None = None,
+    stop_after_empty_polls: int | None = None,
+    fetch=None,
+) -> int:
+    """JDBC snapshot-offset stream (reference alexp/.../ingest/
+    SqlStreamReader.java:55-101): poll `query WHERE id_column > max_id
+    ORDER BY id_column` capped at `max_batch_size` rows, hand each
+    non-empty minibatch DataFrame to `callback`, advance the offset to the
+    batch's max id, sleep `poll_interval`, repeat. The reference loops
+    forever; `max_batches` / `stop_after_empty_polls` bound the loop for
+    finite sources and tests. Returns the number of batches delivered.
+
+    `fetch(spark, offset, limit) -> DataFrame` overrides the page reader —
+    the polling contract is testable without a JDBC driver on the
+    classpath; the default page reader wraps the offset predicate in a
+    JDBC dbtable subquery, so the database (not Spark) applies the
+    offset/order/limit, exactly like the reference's setMaxRows cursor.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    if fetch is None:
+
+        def fetch(spark_, offset, limit):  # pragma: no cover - needs a driver
+            sub = (
+                f"(SELECT * FROM ({query}) _mb_src WHERE {id_column} > {offset} "
+                f"ORDER BY {id_column} LIMIT {limit}) _mb_page"
+            )
+            return (
+                spark_.read.format("jdbc")
+                .options(url=url, dbtable=sub, fetchsize=str(min(limit, 10000)))
+                .load()
+            )
+
+    delivered = 0
+    max_id = -1
+    empty = 0
+    while True:
+        batch = fetch(spark, max_id, max_batch_size)
+        rows = batch.count()
+        if rows > 0:
+            empty = 0
+            max_id = batch.agg(F.max(id_column)).collect()[0][0]
+            callback(batch)
+            delivered += 1
+            if max_batches is not None and delivered >= max_batches:
+                return delivered
+        else:
+            empty += 1
+            if stop_after_empty_polls is not None and empty >= stop_after_empty_polls:
+                return delivered
+        _time.sleep(poll_interval)

@@ -8,6 +8,8 @@ import pytest
 from macrobase_spark import queries as Q
 import macrobase_spark.operators.clips_suite  # noqa: F401  (registers queries)
 import macrobase_spark.operators.dedup  # noqa: F401
+import macrobase_spark.operators.detectors  # noqa: F401
+import macrobase_spark.operators.hst  # noqa: F401
 import macrobase_spark.operators.image  # noqa: F401
 import macrobase_spark.operators.mcod  # noqa: F401
 import macrobase_spark.operators.similarity  # noqa: F401
