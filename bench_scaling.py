@@ -178,6 +178,17 @@ def main() -> int:
     lo, hi = results[0], results[-1]
     factor = hi["cores"] / lo["cores"]
     eff = hi["clips_per_sec"] / (factor * lo["clips_per_sec"])
+    # every measured pair, not just the endpoints: with e.g. --cores 2,8,32
+    # this reports 2→8, 8→32 and 2→32 so the protocol table can carry all
+    # pairs from ONE run on one host state
+    pair_effs = {}
+    for i in range(len(results)):
+        for j in range(i + 1, len(results)):
+            a, b = results[i], results[j]
+            f = b["cores"] / a["cores"]
+            pair_effs[f"{a['cores']}->{b['cores']}"] = round(
+                b["clips_per_sec"] / (f * a["clips_per_sec"]), 3
+            )
 
     lines = [
         "# BENCH — north-rule scaling run",
@@ -204,13 +215,25 @@ def main() -> int:
         "",
         f"Violations found (identical at both levels): {hi['violations']}",
         "",
+        "All measured pairs: "
+        + ", ".join(f"{k}: {v}" for k, v in pair_effs.items()),
+        "",
         "Reproduce: `python bench_scaling.py`",
         "",
     ]
     outp = Path(args.out)
     outp.parent.mkdir(parents=True, exist_ok=True)
     outp.write_text("\n".join(lines))
-    print(json.dumps({"levels": results, "efficiency": round(eff, 3), "out": str(outp)}))
+    print(
+        json.dumps(
+            {
+                "levels": results,
+                "efficiency": round(eff, 3),
+                "pair_efficiencies": pair_effs,
+                "out": str(outp),
+            }
+        )
+    )
     return 0
 
 

@@ -413,8 +413,10 @@ def _suite_from_scored(
                     (
                         None,
                         "drift",
+                        # fixed-decimal formatting (printf-compatible) so the
+                        # DuckDB suite oracle can state the string exactly
                         f"drifted dur_ms in ({r[part]},{r['sr_hz']}): "
-                        f"med={round(float(r['dur_q'][0]), 1)} score={round(float(s), 2)}",
+                        f"med={float(r['dur_q'][0]):.1f} score={float(s):.2f}",
                     )
                 )
     drift = spark.createDataFrame(drift_out, "clip_id string, check string, detail string")

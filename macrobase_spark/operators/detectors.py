@@ -438,10 +438,13 @@ def lof_score(
     train_rows: int = 4096,
     seed: int = 42,
     score_col: str = "_SCORE",
+    model: LOFModel | None = None,
 ) -> DataFrame:
-    """LOF scores for every row w.r.t. a seeded fitted sample."""
-    sample = _collect_sample(df, feature_cols, train_rows, seed)
-    model = fit_lof(sample, k=k, seed=seed, max_sample=train_rows)
+    """LOF scores for every row w.r.t. a seeded fitted sample (or a
+    pre-fit model)."""
+    if model is None:
+        sample = _collect_sample(df, feature_cols, train_rows, seed)
+        model = fit_lof(sample, k=k, seed=seed, max_sample=train_rows)
     return _score_with(df, feature_cols, id_cols, model, "lof", score_col)
 
 
@@ -454,13 +457,15 @@ def mcd_score(
     train_rows: int = 10000,
     seed: int = 42,
     score_col: str = "_SCORE",
+    model: MCDModel | None = None,
 ) -> DataFrame:
     """Robust Mahalanobis scores from a FastMCD fit on a seeded sample
     (reference MinCovDet trainSize default 10000 — the same fit-on-head,
     score-everything contract, but with a seeded sample instead of head
     rows so the fit is partitioning-invariant)."""
-    sample = _collect_sample(df, feature_cols, train_rows, seed)
-    model = fit_mcd(sample, alpha=alpha, stopping_delta=stopping_delta, seed=seed)
+    if model is None:
+        sample = _collect_sample(df, feature_cols, train_rows, seed)
+        model = fit_mcd(sample, alpha=alpha, stopping_delta=stopping_delta, seed=seed)
     return _score_with(df, feature_cols, id_cols, model, "mcd", score_col)
 
 
@@ -641,23 +646,138 @@ def iforest_outliers_embeddings(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lof_outliers_embeddings")  # rows-only
+def lof_model_parquet(spark, sf_dir: str) -> str:
+    """Materialize the fitted LOF sample — (sid, feat[8], kdist, lrd) —
+    so the novelty-LOF scoring (k-NN against the sample, reach-distance
+    sum, lrd ratio) is one window-ranked SQL query over the same files.
+    The FIT (pairwise k-distance/lrd over the sample) stays gated by
+    tests/test_detectors.py planted-AUC."""
+    import os
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_lof_model_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        feats = [f"_f{i}" for i in range(_DIMS)]
+        df = array_col_to_features(e, "embedding", _DIMS)
+        sample = _collect_sample(df, feats, 4096, 42)
+        m = fit_lof(sample, k=20, seed=42, max_sample=4096)
+        rows = [
+            (i, [float(v) for v in m.S[i]], float(m.kdist[i]), float(m.lrd[i]))
+            for i in range(m.S.shape[0])
+        ]
+        spark.createDataFrame(
+            rows, "sid long, feat array<double>, kdist double, lrd double"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_lof_model(spark, path: str, k: int = 20) -> LOFModel:
+    pdf = spark.read.parquet(path).toPandas().sort_values("sid")
+    return LOFModel(
+        S=np.stack(pdf["feat"].to_numpy()),
+        k=k,
+        kdist=pdf["kdist"].to_numpy(dtype=np.float64),
+        lrd=pdf["lrd"].to_numpy(dtype=np.float64),
+    )
+
+
+_LOFM = "read_parquet('/tmp/mb_lof_model_v1_500.parquet/*.parquet')"
+
+_LOF_ORACLE = f"""
+    WITH s AS (SELECT * FROM {_LOFM}),
+    d AS (SELECT e.vec_id, s.sid, s.kdist, s.lrd,
+                 sqrt(pow(CAST(e.embedding[1] AS DOUBLE) - s.feat[1], 2) + pow(CAST(e.embedding[2] AS DOUBLE) - s.feat[2], 2) + pow(CAST(e.embedding[3] AS DOUBLE) - s.feat[3], 2) + pow(CAST(e.embedding[4] AS DOUBLE) - s.feat[4], 2) + pow(CAST(e.embedding[5] AS DOUBLE) - s.feat[5], 2) + pow(CAST(e.embedding[6] AS DOUBLE) - s.feat[6], 2) + pow(CAST(e.embedding[7] AS DOUBLE) - s.feat[7], 2) + pow(CAST(e.embedding[8] AS DOUBLE) - s.feat[8], 2)) AS dist
+          FROM embeddings e CROSS JOIN s),
+    nn AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, sid) AS rn FROM d),
+    kn AS (SELECT * FROM nn WHERE rn <= 20),
+    agg AS (SELECT vec_id,
+                   sum(greatest(dist, kdist)) AS reach_sum,
+                   avg(lrd) AS lrd_nn
+            FROM kn GROUP BY vec_id),
+    sc AS (SELECT vec_id,
+                  lrd_nn / greatest(20.0 / greatest(reach_sum, 1e-300), 1e-300) AS s
+           FROM agg),
+    rk AS (SELECT vec_id, s FROM sc ORDER BY s DESC, vec_id LIMIT 20)
+    SELECT vec_id, round(s, 4) AS score FROM rk
+"""
+
+
+@register("lof_outliers_embeddings", _LOF_ORACLE)
 def lof_outliers_embeddings(spark, sf_dir: str) -> DataFrame:
+    """20 largest LOF scores against the materialized fitted sample; the
+    oracle replays the k-NN + reach-distance scoring in SQL."""
+    model = load_lof_model(spark, lof_model_parquet(spark, sf_dir))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     feats = [f"_f{i}" for i in range(_DIMS)]
     df = array_col_to_features(emb, "embedding", _DIMS)
-    scored = lof_score(df, feats, ["vec_id"])
+    scored = lof_score(df, feats, ["vec_id"], model=model)
     return scored.orderBy(F.desc("_SCORE"), "vec_id").limit(20).select(
         "vec_id", F.round("_SCORE", 4).alias("score")
     )
 
 
-@register("mcd_outliers_embeddings")  # rows-only
+def mcd_model_parquet(spark, sf_dir: str) -> str:
+    """Materialize the FastMCD robust center: a 64-row (i, j, p, mu_i,
+    mu_j) relation (precision matrix with the mean denormalized in) so the
+    Mahalanobis form x'->sqrt((x-mu)' P (x-mu)) is one SQL cross join +
+    grouped sum. The C-step FIT stays gated by tests (shuttle parity)."""
+    import os
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_mcd_model_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        feats = [f"_f{i}" for i in range(_DIMS)]
+        df = array_col_to_features(e, "embedding", _DIMS)
+        sample = _collect_sample(df, feats, 10000, 42)
+        m = fit_mcd(sample, seed=42)
+        rows = [
+            (i, j, float(m.inv_cov[i, j]), float(m.mean[i]), float(m.mean[j]))
+            for i in range(_DIMS)
+            for j in range(_DIMS)
+        ]
+        spark.createDataFrame(
+            rows, "i long, j long, p double, mu_i double, mu_j double"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_mcd_model(spark, path: str) -> MCDModel:
+    pdf = spark.read.parquet(path).toPandas().sort_values(["i", "j"])
+    d = int(pdf["i"].max()) + 1
+    return MCDModel(
+        mean=pdf.drop_duplicates("i").sort_values("i")["mu_i"].to_numpy(dtype=np.float64),
+        inv_cov=pdf["p"].to_numpy(dtype=np.float64).reshape(d, d),
+    )
+
+
+_MCDM = "read_parquet('/tmp/mb_mcd_model_v1_500.parquet/*.parquet')"
+
+_MCD_ORACLE = f"""
+    WITH m AS (SELECT * FROM {_MCDM}),
+    terms AS (
+      SELECT e.vec_id,
+             (CAST(e.embedding[m.i + 1] AS DOUBLE) - m.mu_i) * m.p *
+             (CAST(e.embedding[m.j + 1] AS DOUBLE) - m.mu_j) AS term
+      FROM embeddings e CROSS JOIN m),
+    sc AS (SELECT vec_id, sqrt(greatest(sum(term), 0.0)) AS s
+           FROM terms GROUP BY vec_id),
+    rk AS (SELECT vec_id, s FROM sc ORDER BY s DESC, vec_id LIMIT 20)
+    SELECT vec_id, round(s, 4) AS score FROM rk
+"""
+
+
+@register("mcd_outliers_embeddings", _MCD_ORACLE)
 def mcd_outliers_embeddings(spark, sf_dir: str) -> DataFrame:
+    """20 largest robust-Mahalanobis distances under the materialized MCD
+    center; the oracle evaluates the quadratic form directly in SQL."""
+    model = load_mcd_model(spark, mcd_model_parquet(spark, sf_dir))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     feats = [f"_f{i}" for i in range(_DIMS)]
     df = array_col_to_features(emb, "embedding", _DIMS)
-    scored = mcd_score(df, feats, ["vec_id"])
+    scored = mcd_score(df, feats, ["vec_id"], model=model)
     return scored.orderBy(F.desc("_SCORE"), "vec_id").limit(20).select(
         "vec_id", F.round("_SCORE", 4).alias("score")
     )

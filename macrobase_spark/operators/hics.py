@@ -256,6 +256,38 @@ def hics_search(
 # ---------------------------------------------------------------------------
 
 
+def fit_hics_models(
+    sample: np.ndarray,
+    feature_cols: list[str],
+    m: int = 50,
+    alpha: float = 0.05,
+    cutoff: int = 400,
+    dmax: int = -1,
+    topk: int = 10,
+    stat_test: str = "welch_t",
+    n_trees: int = 50,
+    seed: int = 42,
+) -> list:
+    """HiCS search + per-subspace isolation-forest fits on the sample;
+    returns [(sub_cols, IForest)] for the top-k high-contrast subspaces."""
+    found = hics_search(
+        sample, m=m, alpha=alpha, cutoff=cutoff, dmax=dmax, stat_test=stat_test, seed=seed
+    )[:topk]
+    if not found:
+        raise ValueError("HiCS found no subspaces (need >= 2 feature columns)")
+    subs = [tuple(feature_cols[i] for i in sub) for sub, _ in found]
+    col_idx = {c: i for i, c in enumerate(feature_cols)}
+    return [
+        (
+            list(sub),
+            fit_isolation_forest(
+                sample[:, [col_idx[c] for c in sub]], n_trees=n_trees, subsample=256, seed=seed
+            ),
+        )
+        for sub in subs
+    ]
+
+
 def hics_subspace_explain(
     df: DataFrame,
     feature_cols: list[str],
@@ -270,29 +302,19 @@ def hics_subspace_explain(
     n_trees: int = 50,
     seed: int = 42,
     top_label: int = 2,
+    models: list | None = None,
 ) -> DataFrame:
     """HiCS explanation: append the average detector score across the top-k
     high-contrast subspaces plus `__REL_SUBSPACES` (this point's top
     `top_label` subspaces by its own score, beam-compatible '[f0,f1]'
     format). Search + fits on the seeded driver sample; ONE Arrow scan
     scores every row against every top-k subspace."""
-    sample = _collect_sample(df, feature_cols, train_rows, seed)
-    found = hics_search(
-        sample, m=m, alpha=alpha, cutoff=cutoff, dmax=dmax, stat_test=stat_test, seed=seed
-    )[:topk]
-    if not found:
-        raise ValueError("HiCS found no subspaces (need >= 2 feature columns)")
-    subs = [tuple(feature_cols[i] for i in sub) for sub, _ in found]
-    col_idx = {c: i for i, c in enumerate(feature_cols)}
-    models = [
-        (
-            list(sub),
-            fit_isolation_forest(
-                sample[:, [col_idx[c] for c in sub]], n_trees=n_trees, subsample=256, seed=seed
-            ),
+    if models is None:
+        sample = _collect_sample(df, feature_cols, train_rows, seed)
+        models = fit_hics_models(
+            sample, feature_cols, m=m, alpha=alpha, cutoff=cutoff, dmax=dmax,
+            topk=topk, stat_test=stat_test, n_trees=n_trees, seed=seed,
         )
-        for sub in subs
-    ]
     bc = df.sparkSession.sparkContext.broadcast(models)
 
     out_schema = StructType(
@@ -332,15 +354,158 @@ from pyspark.sql import functions as F  # noqa: E402
 from macrobase_spark.queries import register  # noqa: E402
 
 
-@register("hics_subspace_embeddings")  # rows-only
-def hics_subspace_embeddings(spark, sf_dir: str) -> DataFrame:
+def hics_model_parquet(spark, sf_dir: str) -> str:
+    """Materialize the HiCS top-k subspace forests as ONE flat node
+    relation — (sub, label, node, feat_local, feat_abs, thr, lc, rc, size,
+    depth, root, psi) — so the whole scoring pass (per-subspace iforest
+    descent, cross-subspace average, per-point top-2 relevant-subspace
+    labels) is SQL-stateable over the same files. The Monte-Carlo SEARCH
+    that chose the subspaces stays gated by tests/test_hics.py planted
+    recovery + reference-dataset parity."""
+    import os
+
     from macrobase_spark.operators.detectors import array_col_to_features
 
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_hics_model_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        feats = [f"_f{i}" for i in range(6)]
+        df = array_col_to_features(e, "embedding", 6)
+        sample = _collect_sample(df, feats, 2048, 42)
+        models = fit_hics_models(
+            sample, feats, m=20, cutoff=30, dmax=2, topk=5, n_trees=50, seed=42
+        )
+        rows = []
+        for s, (sub_cols, m_) in enumerate(models):
+            label = "[" + ",".join(sub_cols) + "]"
+            abs_idx = [int(c[2:]) for c in sub_cols]  # _f3 -> embedding[3]
+            roots = set(int(r) for r in m_.roots)
+            for i in range(len(m_.feat)):
+                fl = int(m_.feat[i])
+                rows.append(
+                    (s, label, i, fl, abs_idx[fl] if fl >= 0 else -1,
+                     float(m_.thr[i]), int(m_.left[i]), int(m_.right[i]),
+                     int(m_.size[i]), int(m_.depth[i]), i in roots, int(m_.psi))
+                )
+        spark.createDataFrame(
+            rows,
+            "sub long, label string, node long, feat_local long, feat_abs long, "
+            "thr double, lc long, rc long, size long, depth long, root boolean, psi long",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_hics_models(spark, path: str) -> list:
+    from macrobase_spark.operators.detectors import IForest
+
+    pdf = spark.read.parquet(path).toPandas().sort_values(["sub", "node"])
+    models = []
+    for s in sorted(pdf["sub"].unique()):
+        g = pdf[pdf["sub"] == s]
+        sub_cols = g["label"].iloc[0][1:-1].split(",")
+        models.append(
+            (
+                sub_cols,
+                IForest(
+                    feat=g["feat_local"].to_numpy(dtype=np.int32),
+                    thr=g["thr"].to_numpy(dtype=np.float64),
+                    left=g["lc"].to_numpy(dtype=np.int32),
+                    right=g["rc"].to_numpy(dtype=np.int32),
+                    size=g["size"].to_numpy(dtype=np.int32),
+                    depth=g["depth"].to_numpy(dtype=np.int32),
+                    roots=g.loc[g["root"], "node"].to_numpy(dtype=np.int32),
+                    psi=int(g["psi"].iloc[0]),
+                ),
+            )
+        )
+    return models
+
+
+_HICSM = "read_parquet('/tmp/mb_hics_model_v1_500.parquet/*.parquet')"
+
+_HICS_ORACLE = f"""
+    WITH nodes AS (SELECT * FROM read_parquet('/tmp/mb_hics_model_v1_500.parquet/*.parquet')),
+    s0 AS (SELECT e.vec_id, e.embedding AS emb, n.sub, n.node
+           FROM embeddings e CROSS JOIN (SELECT sub, node FROM nodes WHERE root) n),
+    s1 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s0 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s2 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s1 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s3 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s2 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s4 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s3 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s5 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s4 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s6 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s5 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s7 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s6 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s8 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s7 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    leaf AS (SELECT p.vec_id, p.sub, n.depth, n.size FROM s8 p
+             JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    pl AS (SELECT vec_id, sub, avg(depth + CASE WHEN CAST(size AS DOUBLE) > 2 THEN 2.0 * (ln(CAST(size AS DOUBLE) - 1.0) + 0.5772156649015329) - 2.0 * (CAST(size AS DOUBLE) - 1.0) / CAST(size AS DOUBLE) WHEN CAST(size AS DOUBLE) = 2 THEN 1.0 ELSE 0.0 END) AS avg_path
+           FROM leaf GROUP BY vec_id, sub),
+    meta AS (SELECT sub, any_value(label) AS label,
+                    greatest(CASE WHEN psi > 2 THEN 2.0 * (ln(psi - 1.0) + 0.5772156649015329) - 2.0 * (psi - 1.0) / psi WHEN psi = 2 THEN 1.0 ELSE 0.0 END, 1e-12) AS c
+             FROM (SELECT sub, label, CAST(psi AS DOUBLE) AS psi FROM nodes)
+             GROUP BY sub, psi),
+    persub AS (SELECT pl.vec_id, pl.sub, meta.label,
+                      power(2.0, -pl.avg_path / meta.c) AS s
+               FROM pl JOIN meta ON meta.sub = pl.sub),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY s DESC, sub) AS rn
+               FROM persub),
+    agg AS (SELECT vec_id, avg(s) AS avg_score FROM persub GROUP BY vec_id),
+    rel AS (SELECT vec_id, string_agg(label, ';' ORDER BY rn) AS __REL_SUBSPACES
+            FROM ranked WHERE rn <= 2 GROUP BY vec_id),
+    rk AS (SELECT a.vec_id, a.avg_score, rel.__REL_SUBSPACES
+           FROM agg a JOIN rel USING (vec_id)
+           ORDER BY a.avg_score DESC, a.vec_id LIMIT 20)
+    SELECT vec_id, round(avg_score, 4) AS score, __REL_SUBSPACES FROM rk
+"""
+
+
+@register("hics_subspace_embeddings", _HICS_ORACLE)
+def hics_subspace_embeddings(spark, sf_dir: str) -> DataFrame:
+    """Top-20 points by average iforest score across the materialized HiCS
+    subspace forests, with per-point top-2 relevant-subspace labels; the
+    oracle replays the full scoring pass in SQL."""
+    from macrobase_spark.operators.detectors import array_col_to_features
+
+    models = load_hics_models(spark, hics_model_parquet(spark, sf_dir))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     feats = [f"_f{i}" for i in range(6)]
     df = array_col_to_features(emb, "embedding", 6)
     res = hics_subspace_explain(
-        df, feats, ["vec_id"], m=20, cutoff=30, dmax=2, topk=5, train_rows=2048
+        df, feats, ["vec_id"], m=20, cutoff=30, dmax=2, topk=5, train_rows=2048,
+        models=models,
     )
     return res.orderBy(F.desc("avg_score"), "vec_id").limit(20).select(
         "vec_id", F.round("avg_score", 4).alias("score"), REL_SUBSPACES

@@ -272,14 +272,16 @@ def rrcf_score(
     train_rows: int = 4096,
     seed: int = 42,
     score_col: str = "_SCORE",
+    forest: RRCFForest | None = None,
 ) -> DataFrame:
     """Stationary CoDisp scores against a forest fit on a seeded sample
-    (high = anomalous). The evolving/forgetting semantics are
-    `stream_rrcf`."""
+    (high = anomalous; a pre-fit forest can be passed). The evolving/
+    forgetting semantics are `stream_rrcf`."""
     from macrobase_spark.operators.detectors import _collect_sample
 
-    sample = _collect_sample(df, feature_cols, train_rows, seed)
-    forest = fit_rrcf(sample, n_trees=n_trees, subsample=subsample, seed=seed)
+    if forest is None:
+        sample = _collect_sample(df, feature_cols, train_rows, seed)
+        forest = fit_rrcf(sample, n_trees=n_trees, subsample=subsample, seed=seed)
     if id_cols is None:
         in_df = df
         out_schema = StructType(list(df.schema.fields) + [StructField(score_col, DoubleType())])
@@ -302,6 +304,18 @@ def rrcf_score(
     return in_df.mapInPandas(run, out_schema)
 
 
+def _init_blob(forest: RRCFForest, forget_threshold: int | None) -> bytes:
+    """Pickled per-key initial state: the threshold override is applied on
+    a COPY before pickling, so new stream keys start with the requested
+    forgetting behavior and the caller's fitted forest stays untouched
+    (ADVICE r2: the override used to be applied after the dump and was
+    silently ignored)."""
+    if forget_threshold is not None:
+        forest = pickle.loads(pickle.dumps(forest))
+        forest.forget_threshold = forget_threshold
+    return pickle.dumps(forest)
+
+
 def stream_rrcf(
     stream_df: DataFrame,
     key_col: str,
@@ -317,12 +331,7 @@ def stream_rrcf(
     outputMode('append')."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    if forget_threshold is not None:
-        # override on a copy so new keys start with the requested threshold
-        # and the caller's fitted forest is left untouched
-        forest = pickle.loads(pickle.dumps(forest))
-        forest.forget_threshold = forget_threshold
-    init_blob = pickle.dumps(forest)
+    init_blob = _init_blob(forest, forget_threshold)
 
     out_schema = StructType(
         [
@@ -384,14 +393,387 @@ from pyspark.sql import functions as F  # noqa: E402
 from macrobase_spark.queries import register  # noqa: E402
 
 
-@register("rrcf_outliers_embeddings")  # rows-only
+def rrcf_model_parquet(spark, sf_dir: str) -> str:
+    """Materialize the fitted RRCF forest as a flat node relation — (tree,
+    node, is_leaf, q, p, lc, rc, ln, rn) — so the stationary CoDisp walk
+    (descend by cut, carry max sibling-size ratio) is SQL-stateable as a
+    fixed-depth leaf-stay-put unroll (max tree depth is checked against the
+    unroll). The randomized BUILD stays gated by tests/test_rrcf.py."""
+    import os
+
+    from macrobase_spark.operators.detectors import _collect_sample, array_col_to_features
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_rrcf_model_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        feats = [f"_f{i}" for i in range(8)]
+        df = array_col_to_features(e, "embedding", 8)
+        sample = _collect_sample(df, feats, 4096, 42)
+        forest = fit_rrcf(sample, n_trees=40, subsample=256, seed=42)
+        rows = []
+        max_depth = 0
+        for t, tree in enumerate(forest.trees):
+            ids: dict[int, int] = {}
+
+            def nid(node):
+                if id(node) not in ids:
+                    ids[id(node)] = len(ids)
+                return ids[id(node)]
+
+            stack = [(tree.root, 0)]
+            while stack:
+                node, d = stack.pop()
+                max_depth = max(max_depth, d)
+                if isinstance(node, Branch):
+                    rows.append(
+                        (t, nid(node), False, int(node.q), float(node.p),
+                         nid(node.l), nid(node.r), int(node.l.n), int(node.r.n),
+                         int(node.n))
+                    )
+                    stack.append((node.l, d + 1))
+                    stack.append((node.r, d + 1))
+                else:
+                    # nn carries the leaf's duplicate-collapse count — the
+                    # parent's ln/rn ratio depends on it at reload time
+                    rows.append((t, nid(node), True, -1, 0.0, -1, -1, 0, 0,
+                                 int(node.n)))
+        if max_depth > 30:
+            raise ValueError(
+                f"rrcf oracle unrolls 30 descent steps but the forest is "
+                f"{max_depth} deep — bump the unroll"
+            )
+        spark.createDataFrame(
+            rows,
+            "tree long, node long, is_leaf boolean, q long, p double, "
+            "lc long, rc long, ln long, rn long, nn long",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_rrcf_forest(spark, path: str, forget_threshold: int = 256) -> RRCFForest:
+    """Rebuild the pointer forest for batch CoDisp scoring (bounding boxes
+    are not rebuilt — batch scoring never touches them)."""
+    pdf = spark.read.parquet(path).toPandas()
+    trees = []
+    for t in sorted(pdf["tree"].unique()):
+        g = pdf[pdf["tree"] == t].set_index("node")
+        nodes: dict[int, object] = {}
+
+        def build(i: int):
+            if i in nodes:
+                return nodes[i]
+            r = g.loc[i]
+            if r["is_leaf"]:
+                node = Leaf(x=None, n=int(r["nn"]))
+            else:
+                node = Branch(
+                    int(r["q"]), float(r["p"]), build(int(r["lc"])),
+                    build(int(r["rc"])), int(r["nn"]), None, None,
+                )
+            nodes[i] = node
+            return node
+
+        tree = RRCFTree(np.random.default_rng(0))
+        tree.root = build(0)
+        trees.append(tree)
+    return RRCFForest(trees, forget_threshold)
+
+
+_RRCFM = "read_parquet('/tmp/mb_rrcf_model_v1_500.parquet/*.parquet')"
+
+_RRCF_ORACLE = f"""
+    WITH nodes AS (SELECT * FROM read_parquet('/tmp/mb_rrcf_model_v1_500.parquet/*.parquet')),
+    s0 AS (SELECT e.vec_id, e.embedding AS emb, t.tree, 0 AS node,
+                  0.0 AS best
+           FROM embeddings e CROSS JOIN (SELECT DISTINCT tree FROM nodes) t),
+    s1 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s0 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s2 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s1 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s3 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s2 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s4 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s3 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s5 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s4 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s6 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s5 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s7 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s6 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s8 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s7 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s9 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s8 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s10 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s9 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s11 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s10 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s12 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s11 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s13 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s12 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s14 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s13 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s15 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s14 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s16 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s15 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s17 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s16 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s18 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s17 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s19 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s18 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s20 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s19 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s21 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s20 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s22 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s21 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s23 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s22 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s24 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s23 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s25 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s24 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s26 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s25 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s27 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s26 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s28 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s27 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s29 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s28 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    s30 AS (SELECT p.vec_id, p.emb, p.tree,
+                CASE WHEN n.is_leaf THEN p.node
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p THEN n.lc
+                     ELSE n.rc END AS node,
+                CASE WHEN n.is_leaf THEN p.best
+                     WHEN CAST(p.emb[n.q + 1] AS DOUBLE) <= n.p
+                       THEN greatest(p.best, CAST(n.rn AS DOUBLE) / greatest(n.ln, 1))
+                     ELSE greatest(p.best, CAST(n.ln AS DOUBLE) / greatest(n.rn, 1)) END AS best
+         FROM s29 p JOIN nodes n ON n.tree = p.tree AND n.node = p.node),
+    sc AS (SELECT vec_id, avg(best) AS s FROM s30 GROUP BY vec_id),
+    rk AS (SELECT vec_id, s FROM sc ORDER BY s DESC, vec_id LIMIT 20)
+    SELECT vec_id, round(s, 4) AS score FROM rk
+"""
+
+
+@register("rrcf_outliers_embeddings", _RRCF_ORACLE)
 def rrcf_outliers_embeddings(spark, sf_dir: str) -> DataFrame:
+    """20 largest stationary CoDisp scores under the materialized forest;
+    the oracle replays the ratio-carrying descent in SQL."""
     from macrobase_spark.operators.detectors import array_col_to_features
 
+    forest = load_rrcf_forest(spark, rrcf_model_parquet(spark, sf_dir))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     feats = [f"_f{i}" for i in range(8)]
     df = array_col_to_features(emb, "embedding", 8)
-    scored = rrcf_score(df, feats, ["vec_id"], n_trees=40, subsample=256)
+    scored = rrcf_score(df, feats, ["vec_id"], forest=forest)
     return scored.orderBy(F.desc("_SCORE"), "vec_id").limit(20).select(
         "vec_id", F.round("_SCORE", 4).alias("score")
     )

@@ -525,12 +525,67 @@ def ann_ivf_topk_q(spark, sf_dir):
     )
 
 
-@register("ann_lsh_candidates")  # rows-only: bucketing is engine-local
+def lsh_sketch_parquet(spark, sf_dir: str) -> str:
+    """Materialize the (vec_id, bucket) sign-bit sketch relation for the
+    registered LSH config (10 planes x 2 tables, seed 7) so the bucket
+    self-join + exact-cosine verify is SQL-stateable over the same files.
+    The hyperplanes are seeded, so the registered query provably buckets
+    identically."""
+    import os
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_lsh_sketch_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        dim = len(e.select("embedding").first()[0])
+        n_planes, n_tables, seed = 10, 2, 7
+        planes = np.vstack(
+            [_hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)]
+        )
+        pdf = e.select("vec_id", "embedding").toPandas()
+        m = _as_matrix(pdf["embedding"])
+        bits = (m @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        frames = []
+        for t in range(n_tables):
+            key = (bits[:, t * n_planes : (t + 1) * n_planes] @ weights) | (
+                np.int64(t) << np.int64(n_planes)
+            )
+            frames.append(pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": key}))
+        spark.createDataFrame(pd.concat(frames)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+_LSHB = "read_parquet('/tmp/mb_lsh_sketch_v1_500.parquet/*.parquet')"
+
+_LSH_ORACLE = f"""
+    WITH b AS (SELECT * FROM {_LSHB}),
+    ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 20000),
+    cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+             FROM b x JOIN ok USING (bucket)
+             JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+    scored AS (
+      SELECT c.ida AS id_a, c.idb AS id_b,
+             list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))) / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(a.embedding, x -> CAST(x AS DOUBLE)))) * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) AS cos
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.ida
+      JOIN embeddings b ON b.vec_id = c.idb)
+    SELECT id_a, id_b, round(cos, 6) AS cos
+    FROM scored WHERE cos >= 0.0
+"""
+
+
+@register("ann_lsh_candidates", _LSH_ORACLE)
 def ann_lsh_candidates_q(spark, sf_dir):
+    """Multi-table LSH candidates with the sketch relation materialized:
+    the oracle restates bucket self-join + exact-cosine verify in SQL
+    (small-sf sizing: 2^10 buckets/table; production is 16 planes x 4
+    tables)."""
+    lsh_sketch_parquet(spark, sf_dir)
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(e.select("embedding").first()[0])
-    # small-sf sizing: 2^10 buckets/table keeps buckets populated at 10k
-    # vectors; production default is 16 planes x 4 tables
     return lsh_cosine_candidates(
         e, "vec_id", "embedding", dim=dim, n_planes=10, n_tables=2
     )

@@ -295,15 +295,232 @@ def _emb_with_poi(spark, sf_dir: str, dims: int = 6):
     return scored.withColumn("poi", F.col("_S") >= F.lit(float(cut))), feats
 
 
-@register("lookout_explain_embeddings")  # rows-only
+_FOREST_SCHEMA = (
+    "sub long, label string, node long, feat_local long, feat_abs long, "
+    "thr double, lc long, rc long, size long, depth long, root boolean, "
+    "psi long, zmean double, zstd double"
+)
+
+
+def _forest_rows(models, zparams=None):
+    """Flatten [(sub_cols, IForest)] into the shared oracle node-relation
+    (absolute embedding indices for SQL, local ones kept for reload;
+    optional per-subspace z-normalization parameters)."""
+    rows = []
+    for s, (sub_cols, m_) in enumerate(models):
+        label = "[" + ",".join(sub_cols) + "]"
+        abs_idx = [int(c[2:]) for c in sub_cols]  # _f3 -> embedding[3]
+        zm, zs = zparams[s] if zparams else (0.0, 1.0)
+        roots = set(int(r) for r in m_.roots)
+        for i in range(len(m_.feat)):
+            fl = int(m_.feat[i])
+            rows.append(
+                (s, label, i, fl, abs_idx[fl] if fl >= 0 else -1,
+                 float(m_.thr[i]), int(m_.left[i]), int(m_.right[i]),
+                 int(m_.size[i]), int(m_.depth[i]), i in roots, int(m_.psi),
+                 float(zm), float(zs))
+            )
+    return rows
+
+
+def lookout_artifacts_parquet(spark, sf_dir: str) -> tuple[str, str]:
+    """Materialize LookOut's outputs-defining state: the POI id set (the
+    percentile cut is engine-side) and the GREEDILY-CHOSEN budget of
+    subspace forests, in chosen order — so the per-POI scoring, plot
+    labels, and averages are SQL-stateable. The greedy max-coverage SEARCH
+    stays gated by tests/test_subspace_explainers.py."""
+    import os
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    npath = f"/tmp/mb_lookout_model_v1_{n}.parquet"
+    ppath = f"/tmp/mb_lookout_pois_v1_{n}.parquet"
+    if os.path.isfile(f"{npath}/_SUCCESS") and os.path.isfile(f"{ppath}/_SUCCESS"):
+        return npath, ppath
+    df, feats = _emb_with_poi(spark, sf_dir)
+    col_idx = {c: i for i, c in enumerate(feats)}
+    sample = _collect_sample(df, feats, 2048, 42)
+    subspaces = list(combinations(feats, 2))
+    models = _fit_models(sample, subspaces, col_idx, 40, 42)
+    ids, X = _collect_pois(df, feats, ["vec_id"], "poi", 10000)
+    S = np.column_stack(
+        [iforest_scores(m, X[:, [col_idx[c] for c in sub]]) for sub, m in models]
+    )
+    cur = np.zeros(len(ids))
+    chosen: list[int] = []
+    for _ in range(min(3, len(models))):
+        gains = np.maximum(S - cur[:, None], 0.0).sum(axis=0)
+        gains[chosen] = -np.inf
+        j = int(np.argmax(gains))
+        chosen.append(j)
+        cur = np.maximum(cur, S[:, j])
+    spark.createDataFrame(
+        _forest_rows([models[j] for j in chosen]), _FOREST_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(npath)
+    spark.createDataFrame(
+        [(int(i[0]),) for i in ids], "vec_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(ppath)
+    return npath, ppath
+
+
+def refout_artifacts_parquet(spark, sf_dir: str) -> tuple[str, str]:
+    """Same recipe for RefOut: POI ids + the REFINED subspace forests with
+    their z-normalization moments (computed over the full relation). The
+    pool sampling + per-POI Welch-refinement SEARCH stays test-gated."""
+    import os
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    npath = f"/tmp/mb_refout_model_v1_{n}.parquet"
+    ppath = f"/tmp/mb_refout_pois_v1_{n}.parquet"
+    if os.path.isfile(f"{npath}/_SUCCESS") and os.path.isfile(f"{ppath}/_SUCCESS"):
+        return npath, ppath
+    df, feats = _emb_with_poi(spark, sf_dir)
+    col_idx = {c: i for i, c in enumerate(feats)}
+    rng = np.random.default_rng(42)
+    dim = len(feats)
+    pool_dim = max(min(int(np.ceil(dim * 0.7)), dim), 1)
+    pool: set = set()
+    while len(pool) < min(20, _ncomb(dim, pool_dim)):
+        pool.add(tuple(sorted(rng.choice(dim, size=pool_dim, replace=False))))
+    pool_subs = [tuple(feats[i] for i in s) for s in sorted(pool)]
+    sample = _collect_sample(df, feats, 2048, 42)
+    models = _fit_models(sample, pool_subs, col_idx, 40, 42)
+    ids, X = _collect_pois(df, feats, ["vec_id"], "poi", 10000)
+    zp = _znorm_params(_moments_pass(df, feats, models))
+    S = np.column_stack(
+        [
+            (iforest_scores(m, X[:, [col_idx[c] for c in sub]]) - zp[j][0]) / zp[j][1]
+            for j, (sub, m) in enumerate(models)
+        ]
+    )
+    pool_feats = [list(sub) for sub, _ in models]
+    refined: set[tuple] = set()
+    for i in range(len(ids)):
+        r = _refine(pool_feats, S[i], feats, 2, 100)
+        if r:
+            refined.add(r)
+    ref_models = _fit_models(sample, sorted(refined), col_idx, 40, 42)
+    zr = _znorm_params(_moments_pass(df, feats, ref_models))
+    spark.createDataFrame(
+        _forest_rows(ref_models, zr), _FOREST_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(npath)
+    spark.createDataFrame(
+        [(int(i[0]),) for i in ids], "vec_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(ppath)
+    return npath, ppath
+
+
+def _subspace_oracle(nodes_path: str, pois_path: str, znorm: bool, per_poi_topk: int | None) -> str:
+    """Shared oracle text: POI rows descend every materialized subspace
+    forest (leaf-stay-put, 8 steps = log2(psi)); per-(poi, sub) score
+    2^(-avg path/c(psi)), optionally z-normalized; labels aggregate in
+    chosen order (LookOut) or per-POI rank order (RefOut)."""
+    z = "(power(2.0, -pl.avg_path / meta.c) - meta.zmean) / meta.zstd" if znorm else "power(2.0, -pl.avg_path / meta.c)"
+    if per_poi_topk is None:
+        rel = "string_agg(label || ':' || printf('%.4f', s), ';' ORDER BY sub)"
+        agg_src, rel_src = "persub", "persub"
+        where = ""
+    else:
+        rel = "string_agg(label || ':' || printf('%.4f', s), ';' ORDER BY rn)"
+        agg_src, rel_src = "topk", "topk"
+        where = f"WHERE rn <= {per_poi_topk}"
+    return f"""
+    WITH nodes AS (SELECT * FROM read_parquet('{nodes_path}/*.parquet')),
+    pois AS (SELECT vec_id FROM read_parquet('{pois_path}/*.parquet')),
+    e AS (SELECT p.vec_id, emb.embedding AS emb
+          FROM pois p JOIN embeddings emb USING (vec_id)),
+    s0 AS (SELECT e.vec_id, e.emb, n.sub, n.node
+           FROM e CROSS JOIN (SELECT sub, node FROM nodes WHERE root) n),
+    s1 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s0 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s2 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s1 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s3 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s2 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s4 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s3 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s5 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s4 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s6 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s5 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s7 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s6 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    s8 AS (SELECT p.vec_id, p.emb, p.sub,
+                CASE WHEN n.feat_abs < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat_abs + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM s7 p JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    leaf AS (SELECT p.vec_id, p.sub, n.depth, n.size FROM s8 p
+             JOIN nodes n ON n.sub = p.sub AND n.node = p.node),
+    pl AS (SELECT vec_id, sub, avg(depth + CASE WHEN CAST(size AS DOUBLE) > 2 THEN 2.0 * (ln(CAST(size AS DOUBLE) - 1.0) + 0.5772156649015329) - 2.0 * (CAST(size AS DOUBLE) - 1.0) / CAST(size AS DOUBLE) WHEN CAST(size AS DOUBLE) = 2 THEN 1.0 ELSE 0.0 END) AS avg_path
+           FROM leaf GROUP BY vec_id, sub),
+    meta AS (SELECT sub, any_value(label) AS label, any_value(zmean) AS zmean,
+                    any_value(zstd) AS zstd, greatest(CASE WHEN psi > 2 THEN 2.0 * (ln(psi - 1.0) + 0.5772156649015329) - 2.0 * (psi - 1.0) / psi WHEN psi = 2 THEN 1.0 ELSE 0.0 END, 1e-12) AS c
+             FROM (SELECT sub, label, zmean, zstd, CAST(psi AS DOUBLE) AS psi
+                   FROM nodes)
+             GROUP BY sub, psi),
+    persub AS (SELECT pl.vec_id, pl.sub, meta.label, {z} AS s
+               FROM pl JOIN meta ON meta.sub = pl.sub),
+    topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, sub) AS rn FROM persub)
+             {where}),
+    agg AS (SELECT vec_id, avg(s) AS avg_score FROM {agg_src} GROUP BY vec_id),
+    rel AS (SELECT vec_id, {rel} AS __REL_SUBSPACES
+            FROM {rel_src} GROUP BY vec_id),
+    rk AS (SELECT a.vec_id, a.avg_score, rel.__REL_SUBSPACES
+           FROM agg a JOIN rel USING (vec_id)
+           ORDER BY a.avg_score DESC, a.vec_id LIMIT 20)
+    SELECT vec_id, avg_score, __REL_SUBSPACES FROM rk
+"""
+
+
+_LOOKOUT_ORACLE = _subspace_oracle(
+    "/tmp/mb_lookout_model_v1_500.parquet", "/tmp/mb_lookout_pois_v1_500.parquet",
+    znorm=False, per_poi_topk=None,
+)
+_REFOUT_ORACLE = _subspace_oracle(
+    "/tmp/mb_refout_model_v1_500.parquet", "/tmp/mb_refout_pois_v1_500.parquet",
+    znorm=True, per_poi_topk=3,
+)
+
+
+@register("lookout_explain_embeddings", _LOOKOUT_ORACLE)
 def lookout_explain_embeddings(spark, sf_dir: str) -> DataFrame:
+    """LookOut explanation rows; the greedy plot choice is materialized and
+    the per-POI scoring/labels are replayed by the oracle in SQL."""
+    lookout_artifacts_parquet(spark, sf_dir)
     df, feats = _emb_with_poi(spark, sf_dir)
     res = lookout_explain(df, feats, ["vec_id"], "poi", budget=3, n_trees=40)
     return res.orderBy(F.desc("avg_score"), "vec_id").limit(20)
 
 
-@register("refout_explain_embeddings")  # rows-only
+@register("refout_explain_embeddings", _REFOUT_ORACLE)
 def refout_explain_embeddings(spark, sf_dir: str) -> DataFrame:
+    """RefOut explanation rows; the refined subspaces + z-moments are
+    materialized and the top-k scoring/labels replayed by the oracle."""
+    refout_artifacts_parquet(spark, sf_dir)
     df, feats = _emb_with_poi(spark, sf_dir)
     res = refout_explain(
         df, feats, ["vec_id"], "poi", psize=20, topk=3, n_trees=40

@@ -82,13 +82,24 @@ class MacroBaseSQL:
             import shutil
 
             tmp = path + ".__parts__"
+            # nanValue/positiveInf are READ options; on write Spark formats
+            # doubles via Java toString (NaN/Infinity). Normalize float
+            # columns to the pandas-path spellings explicitly.
+            out_df = df
+            for f in df.schema.fields:
+                if f.dataType.typeName() in ("double", "float"):
+                    c = F.col(f.name)
+                    out_df = out_df.withColumn(
+                        f.name,
+                        F.when(F.isnan(c), F.lit(None))
+                        .when(c == float("inf"), F.lit("inf"))
+                        .when(c == float("-inf"), F.lit("-inf"))
+                        .otherwise(c.cast("string")),
+                    )
             (
-                df.write.mode("overwrite")
+                out_df.write.mode("overwrite")
                 .option("header", False)
                 .option("nullValue", "")
-                .option("nanValue", "")
-                .option("positiveInf", "inf")
-                .option("negativeInf", "-inf")
                 .option("emptyValue", "")
                 .csv(tmp)
             )

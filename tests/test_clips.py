@@ -192,3 +192,33 @@ def test_cache_strategies_equivalent(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         run_suite(clips, manifest, SuiteConfig(cache="bogus"))
+
+
+def test_suite_null_group_values_not_mistaken_for_subtotals(spark):
+    """ADVICE r2: rollup subtotal rows are identified by grouping_id, not by
+    NULL-ness, so data rows with NULL sr_hz/codec stay at the data grain —
+    no duplicated column-stats/verdict rows, no rows dropped from stats."""
+    from pyspark.sql import functions as F
+
+    from macrobase_spark.operators.audio import SCORED_SCHEMA
+    from macrobase_spark.operators.checks import SuiteConfig, _suite_from_scored
+
+    rows = []
+    for i in range(40):
+        codec = None if i % 10 == 0 else ("pcm16" if i % 2 else "wav")
+        sr = None if i % 8 == 0 else 16000
+        rows.append((f"c{i}", sr, 1000 + i, codec, False, False, 3200, True, 40.0, True))
+    scored = (
+        spark.createDataFrame(rows, SCORED_SCHEMA)
+        .withColumn("snr_pass", F.lit(True))
+    )
+    manifest = scored.select("clip_id")
+    res = _suite_from_scored(scored, manifest, SuiteConfig())
+
+    stats = res.column_stats.toPandas()
+    # one stats row per codec VALUE including the NULL group — never a
+    # duplicate, and the counts must cover all 40 rows
+    assert stats["codec"].duplicated().sum() == 0
+    assert int(stats["n_rows"].sum()) == 40
+    verd = res.verdicts.toPandas()
+    assert verd["codec"].duplicated(keep=False).sum() == 0  # all clean -> 1 row/codec

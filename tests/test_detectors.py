@@ -168,3 +168,17 @@ def test_nab_score():
     noisy = hit.copy()
     noisy[20] = True  # one false positive
     assert nab_score(noisy, labels) == pytest.approx(1.0 - 0.11)
+
+
+def test_nab_score_edges():
+    """ADVICE r2: no labels[-1] wrap at the loop start, and a label window
+    still open at end-of-sequence is penalized as a missed window."""
+    from macrobase_spark.functions.evaluation import nab_score
+
+    # short series (probation start = 0): labels[0]==0 must NOT read
+    # labels[-1]==1 and fabricate a window close at position 0
+    assert nab_score([0, 0, 0, 0], [0, 0, 0, 1]) == -1.0  # trailing FN only
+    # trailing undetected window -> FN even with no 1->0 transition
+    assert nab_score([0] * 10, [0] * 8 + [1, 1]) == -1.0
+    # trailing DETECTED window -> no FN
+    assert nab_score([0] * 8 + [1, 0], [0] * 8 + [1, 1]) == 1.0

@@ -86,3 +86,36 @@ def test_golden_query(engine, qnum):
         assert sorted(got_rows, key=str) == sorted(exp_rows, key=str), (
             f"q{qnum}: {sorted(got_rows, key=str)[:4]} != {sorted(exp_rows, key=str)[:4]}"
         )
+
+
+def test_write_csv_distributed_spill_contract(spark, tmp_path, monkeypatch):
+    """ADVICE r2: the >MAX_COLLECT_ROWS spill must keep the single-file
+    output contract and the pandas-path spellings (null/NaN -> empty,
+    inf -> 'inf')."""
+    import math
+
+    from macrobase_spark.sql import MacroBaseSQL
+
+    sql = MacroBaseSQL(spark)
+    monkeypatch.setattr(MacroBaseSQL, "MAX_COLLECT_ROWS", 5)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)] + [(8, float("nan")), (9, float("inf")), (10, None)],
+        "id long, v double",
+    )
+    small = spark.createDataFrame([(1, float("nan")), (2, float("inf")), (3, None)],
+                                  "id long, v double")
+    big_path, small_path = str(tmp_path / "big.csv"), str(tmp_path / "small.csv")
+    sql.write_csv(df, big_path)
+    sql.write_csv(small, small_path)
+
+    import os
+    assert os.path.isfile(big_path)  # ONE file, not a directory
+    lines = sorted(open(big_path).read().strip().split("\n")[1:])
+    # same spellings as the pandas path
+    small_lines = sorted(open(small_path).read().strip().split("\n")[1:])
+    by_id = {ln.split(",")[0]: ln.split(",", 1)[1] for ln in lines}
+    small_by_id = {ln.split(",")[0]: ln.split(",", 1)[1] for ln in small_lines}
+    assert by_id["8"] == small_by_id["1"]   # NaN
+    assert by_id["9"] == small_by_id["2"]   # inf
+    assert by_id["10"] == small_by_id["3"]  # null
+    assert len(lines) == 11

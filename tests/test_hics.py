@@ -95,3 +95,23 @@ def test_search_climbs_to_3d():
     found = hics_search(X, m=30, alpha=0.15, cutoff=10, stat_test="ks", max_dim_cap=3)
     subs = [s for s, _ in found[:4]]
     assert (0, 1, 2) in subs
+
+
+def test_contrast_averages_over_successful_draws():
+    """ADVICE r2: when the attempt cap truncates the Monte-Carlo loop, the
+    contrast is the mean over SUCCESSFUL draws, not deflated by /m."""
+    import numpy as np
+
+    from macrobase_spark.operators.hics import _contrast
+
+    rng = np.random.default_rng(0)
+    n = 40
+    X = np.column_stack([np.linspace(0, 1, n), np.linspace(0, 1, n)])
+    ranks = np.argsort(np.argsort(X, axis=0), axis=0).T.copy()
+    sorted_cols = [np.sort(X[:, j]) for j in range(2)]
+    # tiny alpha -> conditional slices almost always < 10 points -> most
+    # draws fail; a /m average would collapse toward 0
+    c = _contrast((0, 1), X, ranks, sorted_cols, m=50, alpha=1e-6, rng=rng,
+                  stat_test="welch_t")
+    # perfectly correlated dims: every successful draw has high deviation
+    assert c == 0.0 or c > 0.05  # never a deflated in-between value

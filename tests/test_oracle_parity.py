@@ -9,9 +9,12 @@ from macrobase_spark import queries as Q
 import macrobase_spark.operators.clips_suite  # noqa: F401  (registers queries)
 import macrobase_spark.operators.dedup  # noqa: F401
 import macrobase_spark.operators.detectors  # noqa: F401
+import macrobase_spark.operators.hics  # noqa: F401
 import macrobase_spark.operators.hst  # noqa: F401
 import macrobase_spark.operators.image  # noqa: F401
 import macrobase_spark.operators.mcod  # noqa: F401
+import macrobase_spark.operators.rrcf  # noqa: F401
+import macrobase_spark.operators.subspace_explainers  # noqa: F401
 import macrobase_spark.operators.similarity  # noqa: F401
 import macrobase_spark.operators.text  # noqa: F401
 from tests.oracle_util import compare, duck_con

@@ -114,3 +114,24 @@ def test_stream_matches_replay(spark, tmp_path, planted):
     assert len(got) == n
     for t in range(n):
         assert got[t] == pytest.approx(expect[t], rel=1e-9), t
+
+
+def test_stream_init_blob_applies_forget_threshold():
+    """ADVICE r2: the stream's per-key initial forest must carry the
+    forget_threshold override, and the caller's forest must not mutate."""
+    import pickle
+
+    import numpy as np
+
+    from macrobase_spark.operators.rrcf import _init_blob, fit_rrcf
+
+    rng = np.random.default_rng(3)
+    forest = fit_rrcf(rng.normal(size=(64, 3)), n_trees=4, subsample=32, seed=3)
+    orig_thr = forest.forget_threshold
+
+    blob = _init_blob(forest, forget_threshold=7)
+    assert pickle.loads(blob).forget_threshold == 7
+    assert forest.forget_threshold == orig_thr  # caller untouched
+
+    # no override -> fit-time threshold round-trips
+    assert pickle.loads(_init_blob(forest, None)).forget_threshold == orig_thr
