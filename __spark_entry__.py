@@ -43,21 +43,54 @@ def entry(spark: SparkSession) -> DataFrame:
     scored relation, manifest — all deterministic) so the clips oracle SQL,
     which reads the scored parquet, works regardless of the order in which
     the driver evaluates Spark queries vs oracles."""
-    try:
-        from macrobase_spark.operators.clips_suite import manifest_parquet, scored_parquet
-        from macrobase_spark.operators.image import (
-            image_features_parquet,
-            video_frame_features_parquet,
-        )
-        from macrobase_spark.operators.similarity import ivf_artifacts_parquet
+    sf01 = "/root/testdata/sf0.01"
+    from macrobase_spark.operators.clips_suite import (
+        audio_features_parquet,
+        manifest_parquet,
+        scored_parquet,
+    )
+    from macrobase_spark.operators.detectors import (
+        iforest_model_parquet,
+        lof_model_parquet,
+        mcd_model_parquet,
+    )
+    from macrobase_spark.operators.hics import hics_model_parquet
+    from macrobase_spark.operators.hst import hst_model_parquet
+    from macrobase_spark.operators.image import (
+        image_features_parquet,
+        video_frame_features_parquet,
+    )
+    from macrobase_spark.operators.rrcf import rrcf_model_parquet
+    from macrobase_spark.operators.similarity import (
+        ivf_artifacts_parquet,
+        lsh_sketch_parquet,
+    )
+    from macrobase_spark.operators.subspace_explainers import (
+        lookout_artifacts_parquet,
+        refout_artifacts_parquet,
+    )
 
-        scored_parquet(spark, "/root/testdata/sf0.01")
-        manifest_parquet(spark, "/root/testdata/sf0.01")
-        image_features_parquet(spark, "/root/testdata/sf0.01")
-        video_frame_features_parquet(spark, "/root/testdata/sf0.01")
-        ivf_artifacts_parquet(spark, "/root/testdata/sf0.01")
-    except Exception:
-        pass  # the smoke check must not fail on artifact pre-materialization
+    for mat in (
+        scored_parquet,
+        manifest_parquet,
+        audio_features_parquet,
+        image_features_parquet,
+        video_frame_features_parquet,
+        ivf_artifacts_parquet,
+        lsh_sketch_parquet,
+        iforest_model_parquet,
+        lof_model_parquet,
+        mcd_model_parquet,
+        hst_model_parquet,
+        hics_model_parquet,
+        rrcf_model_parquet,
+        lookout_artifacts_parquet,
+        refout_artifacts_parquet,
+    ):
+        try:
+            mat(spark, sf01)
+        except Exception:
+            pass  # the smoke check must not fail on artifact pre-materialization
     return _Q.QUERIES["explain_risk_ratio_events"](spark, "/root/testdata/sf0.001")
 
 

@@ -59,6 +59,10 @@ EXTRA = [
     "image_feature_stats",
     "video_frame_stats",
     "dedup_simhash_prod",
+    "ann_ivf_topk",
+    "ann_lsh_candidates",
+    "lookout_explain_embeddings",
+    "refout_explain_embeddings",
 ]
 
 
