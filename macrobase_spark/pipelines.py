@@ -58,33 +58,86 @@ class PipelineResult:
     explanation: DataFrame  # the violation-row relation
 
 
+def _double_cols(conf: dict) -> list[str]:
+    chain_metrics = [
+        m for c in conf.get("classifiers", []) for m in c.get("metricColumns", [])
+    ] + list(conf.get("metricColumns", []))
+    doubles = [
+        c
+        for c in [
+            conf.get("metric"),
+            conf.get("countColumn"),
+            conf.get("meanColumn"),
+            conf.get("stdColumn"),
+            *list(conf.get("quantileColumns", {})),
+            *chain_metrics,
+        ]
+        if c
+    ]
+    if conf.get("classifier") == "predicate" and isinstance(conf.get("cutoff"), str):
+        doubles = [c for c in doubles if c != conf.get("metric")]
+    return doubles
+
+
 def _load(spark: SparkSession, conf: dict, base_dir: str) -> DataFrame:
+    """Reference Pipelines.createDataFrameReader (Pipelines.java:56-68):
+    scheme → batch reader. csv/xlsx/http/jdbc/parquet."""
     uri = conf["inputURI"]
     scheme, _, path = uri.partition("://")
-    if base_dir and not path.startswith("/"):
+    if base_dir and not path.startswith("/") and "://" in uri and not scheme.startswith(("http", "jdbc")):
         path = f"{base_dir.rstrip('/')}/{path}"
     if scheme == "csv":
-        chain_metrics = [
-            m for c in conf.get("classifiers", []) for m in c.get("metricColumns", [])
-        ] + list(conf.get("metricColumns", []))
-        doubles = [
-            c
-            for c in [
-                conf.get("metric"),
-                conf.get("countColumn"),
-                conf.get("meanColumn"),
-                conf.get("stdColumn"),
-                *list(conf.get("quantileColumns", {})),
-                *chain_metrics,
-            ]
-            if c
-        ]
-        if conf.get("classifier") == "predicate" and isinstance(conf.get("cutoff"), str):
-            doubles = [c for c in doubles if c != conf.get("metric")]
-        return load_csv(spark, path, double_cols=doubles)
+        return load_csv(spark, path, double_cols=_double_cols(conf))
+    if scheme == "xlsx":
+        from macrobase_spark.sources.xlsx_source import load_xlsx
+
+        return load_xlsx(spark, path)
+    if scheme in ("http", "https"):
+        from macrobase_spark.sources.rest_source import load_http_csv
+
+        return load_http_csv(spark, uri, double_cols=_double_cols(conf))
+    if scheme.startswith("jdbc"):
+        from macrobase_spark.sources.jdbc_source import load_jdbc
+
+        query = conf.get("query")
+        table = f"({query}) _mb_q" if query else conf["table"]
+        return load_jdbc(spark, uri, table)
     if scheme == "parquet":
         return spark.read.parquet(path)
     raise ValueError(f"unsupported inputURI scheme {scheme!r}")
+
+
+def stream_load(spark: SparkSession, conf: dict, callback, base_dir: str = "") -> int:
+    """Reference Pipelines.getStreamingDataLoader (Pipelines.java:70-91):
+    scheme → minibatch stream reader, each part delivered to `callback` as
+    a DataFrame. http → sentinel-split part stream; csv → fixed-size line
+    batches; jdbc → snapshot-offset polling. Returns batches delivered."""
+    uri = conf["inputURI"]
+    scheme, _, path = uri.partition("://")
+    if base_dir and not path.startswith("/") and not scheme.startswith(("http", "jdbc")):
+        path = f"{base_dir.rstrip('/')}/{path}"
+    if scheme in ("http", "https"):
+        from macrobase_spark.sources.rest_source import stream_http_csv
+
+        return stream_http_csv(spark, uri, callback, double_cols=_double_cols(conf))
+    if scheme == "csv":
+        from macrobase_spark.sources.line_stream import stream_csv_lines
+
+        return stream_csv_lines(
+            spark, path, callback, double_cols=_double_cols(conf),
+            batch_lines=int(conf.get("maxReadBatchSize", 5000)),
+        )
+    if scheme.startswith("jdbc"):
+        from macrobase_spark.sources.jdbc_source import stream_jdbc
+
+        return stream_jdbc(
+            spark, uri, conf["query"], conf.get("idColumn", "id"), callback,
+            max_batch_size=int(conf.get("maxReadBatchSize", 5000)),
+            poll_interval=float(conf.get("pollInterval", 1.0)),
+            max_batches=conf.get("maxBatches"),
+            stop_after_empty_polls=conf.get("stopAfterEmptyPolls"),
+        )
+    raise ValueError(f"unsupported streaming inputURI scheme {scheme!r}")
 
 
 def _classify(df: DataFrame, conf: dict, cube: bool) -> DataFrame:

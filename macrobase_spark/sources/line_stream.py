@@ -64,14 +64,26 @@ def stream_csv_lines(
     columns: list[str] | None = None,
     max_bound: int = 10,
     seed: int | None = 0,
+    batch_lines: int | None = None,
 ) -> int:
     """Replay the file as minibatch DataFrames until EOF; returns the
-    number of batches delivered."""
+    number of batches delivered. `batch_lines` switches from the seeded
+    simulation chunking to FIXED-size batches — the reference's
+    CsvStreamReader contract (maxReadBatchSize), used by the config
+    pipelines' streaming loader."""
     gen = LineStreamGenerator(path, max_bound=max_bound, seed=seed)
     try:
         delivered = 0
         while True:
-            chunk = gen.fetch_chunk(seconds_per_batch)
+            if batch_lines is not None:
+                chunk = []
+                for _ in range(batch_lines):
+                    line = gen.fetch()
+                    if not line:
+                        break
+                    chunk.append(line)
+            else:
+                chunk = gen.fetch_chunk(seconds_per_batch)
             if not chunk:
                 return delivered
             text = "\n".join([gen.header, *chunk])

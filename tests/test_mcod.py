@@ -156,3 +156,17 @@ def test_stream_with_idle_timeout_smoke(spark, tmp_path):
         got = {r["t"] for r in spark.sql("select * from mcodto").collect()}
     q.stop()
     assert got == ref
+
+
+def test_keyed_mcod_plan_fully_partitioned(spark):
+    """Scale guard: the keyed flagship's plan must contain NO
+    single-partition exchange — every window and aggregation is
+    hashpartitioned on the stream key."""
+    from macrobase_spark.queries import QUERIES
+
+    df = QUERIES["mcod_outliers_keyed"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(event_type" in plan

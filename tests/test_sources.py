@@ -190,3 +190,23 @@ def test_line_stream_generator(spark, tmp_path):
     sizes2 = []
     stream_csv_lines(spark, str(p), lambda df: sizes2.append(df.count()), seed=11)
     assert sizes == sizes2
+
+
+def test_pipeline_stream_load_dispatch(spark, tmp_path):
+    """Pipelines.getStreamingDataLoader parity: scheme-dispatched minibatch
+    streams with the maxReadBatchSize contract."""
+    from macrobase_spark.pipelines import stream_load
+
+    p = tmp_path / "u.csv"
+    p.write_text("\n".join(["name,usage", *[f"r{i},{i}.0" for i in range(12)]]) + "\n")
+
+    sizes = []
+    n = stream_load(
+        spark,
+        {"inputURI": f"csv://{p}", "metric": "usage", "maxReadBatchSize": 5},
+        lambda df: sizes.append(df.count()),
+    )
+    assert sizes == [5, 5, 2] and n == 3
+
+    with pytest.raises(ValueError):
+        stream_load(spark, {"inputURI": "ftp://x"}, lambda df: None)
