@@ -222,3 +222,22 @@ def test_suite_null_group_values_not_mistaken_for_subtotals(spark):
     assert int(stats["n_rows"].sum()) == 40
     verd = res.verdicts.toPandas()
     assert verd["codec"].duplicated(keep=False).sum() == 0  # all clean -> 1 row/codec
+
+
+def test_post_scan_compaction(spark):
+    """The suite must not inherit the scan's fine-grained partitioning for
+    the narrow post-scan relation: _compact merges cached partitions down to
+    max(2*parallelism, nparts/8) with a narrow dependency (no shuffle), and
+    is a no-op when the relation is already coarse enough."""
+    from macrobase_spark.operators.checks import _compact
+
+    par = spark.sparkContext.defaultParallelism
+    fine = spark.range(0, 10_000, numPartitions=max(16 * par, 64)).localCheckpoint()
+    merged = _compact(fine)
+    nparts = fine.rdd.getNumPartitions()
+    assert merged.rdd.getNumPartitions() == max(2 * par, nparts // 8)
+    # identical rows, no shuffle exchange in the merged plan
+    assert merged.count() == 10_000
+    assert "Exchange" not in merged._jdf.queryExecution().executedPlan().toString()
+    coarse = spark.range(0, 100, numPartitions=2).localCheckpoint()
+    assert _compact(coarse) is coarse
