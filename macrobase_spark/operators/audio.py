@@ -118,24 +118,31 @@ _REF_CACHE_ENTRY_MAX = 1_000_000  # never cache a render above ~8 MB
 _REF_CACHE_SAMPLES = [0]
 
 
-def _ref_matrix(sr: int, ns: int, f0s: np.ndarray) -> np.ndarray:
+def _ref_matrix(sr: int, ns: int, f0s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(renders, signal powers): the reference matrix for a chunk plus each
+    row's Σref² — the power is a function of the render alone, so it is
+    cached WITH the render and the scoring loop never re-reduces the
+    reference matrix."""
     out = np.empty((len(f0s), ns), dtype=np.float64)
+    ssq = np.empty(len(f0s), dtype=np.float64)
     t = None
     for k, f0 in enumerate(f0s):
         key = (sr, ns, float(f0))
-        r = _REF_CACHE.get(key)
-        if r is None:
+        hit = _REF_CACHE.get(key)
+        if hit is None:
             if t is None:
                 t = np.arange(ns, dtype=np.float64) / sr
             r = 0.8 * np.sin(2 * np.pi * float(f0) * t)
+            hit = (r, float(r @ r))
             if (
                 ns <= _REF_CACHE_ENTRY_MAX
                 and _REF_CACHE_SAMPLES[0] + ns <= _REF_CACHE_MAX_SAMPLES
             ):
-                _REF_CACHE[key] = r
+                _REF_CACHE[key] = hit
                 _REF_CACHE_SAMPLES[0] += ns
-        out[k] = r
-    return out
+        out[k] = hit[0]
+        ssq[k] = hit[1]
+    return out, ssq
 
 
 def snr_db(signal: np.ndarray, decoded: np.ndarray) -> float:
@@ -273,6 +280,17 @@ def _binary_views(arr) -> tuple[np.ndarray, np.ndarray]:
 def _decode_wav_view(raw: np.ndarray) -> tuple[int, np.ndarray] | None:
     """decode_wav over a uint8 view (no copies except the 44-byte header and,
     when the PCM slice lands on an odd address, one aligned copy)."""
+    dec = _decode_wav_i16(raw)
+    if dec is None:
+        return None
+    sr, pcm = dec
+    return sr, pcm.astype(np.float64) / 32768.0
+
+
+def _decode_wav_i16(raw: np.ndarray) -> tuple[int, np.ndarray] | None:
+    """_decode_wav_view without the per-clip float conversion: returns the
+    int16 sample view; the batch scorer converts whole shape-group matrices
+    at once (one vectorized pass instead of one small astype per clip)."""
     if len(raw) < 44:
         return None
     header = raw[:44].tobytes()
@@ -287,7 +305,7 @@ def _decode_wav_view(raw: np.ndarray) -> tuple[int, np.ndarray] | None:
         pcm = body.view("<i2")
     else:
         pcm = np.frombuffer(body.tobytes(), dtype="<i2")
-    return sr, pcm.astype(np.float64) / 32768.0
+    return sr, pcm
 
 
 def score_record_batch(b):
@@ -313,7 +331,7 @@ def score_record_batch(b):
     decoded: list = [None] * n
     groups: dict[tuple[int, int], list[int]] = {}
     for i in range(n):
-        dec = _decode_wav_view(data[offsets[i] : offsets[i + 1]])
+        dec = _decode_wav_i16(data[offsets[i] : offsets[i + 1]])
         if dec is None:
             continue
         sr, pcm = dec
@@ -327,11 +345,22 @@ def score_record_batch(b):
         for s in range(0, len(members), 256):
             chunk = members[s : s + 256]
             f0 = tone_hz(np.asarray(idx)[chunk].astype(np.uint64))
-            ref = _ref_matrix(sr, ns, f0)
-            P = np.vstack([decoded[i] for i in chunk])
-            noise = P - ref
-            ps = np.einsum("ij,ij->i", ref, ref)
-            pn = np.einsum("ij,ij->i", noise, noise)
+            ref, ps = _ref_matrix(sr, ns, f0)
+            # one float64 matrix, filled with per-row int16→float converts,
+            # scaled in place — no int16 intermediate matrix, no per-clip
+            # astype. Σ(P−ref)² expands to ΣP² − 2ΣP·ref + Σref² so the
+            # noise matrix is never materialized and Σref² comes from the
+            # render cache: 3 passes over the samples instead of 5 — the
+            # scan stage is memory-bus-bound at high core counts, so saved
+            # traffic is saved wall-clock (cancellation is benign: pn is
+            # ≥ quantization power ~3e-5·ps while fp error is ~1e-16·ps).
+            P = np.empty((len(chunk), ns), dtype=np.float64)
+            for j, i in enumerate(chunk):
+                P[j] = decoded[i]
+            P *= 1.0 / 32768.0
+            pp = np.einsum("ij,ij->i", P, P)
+            pr = np.einsum("ij,ij->i", P, ref)
+            pn = np.maximum(pp - 2.0 * pr + ps, 0.0)
             with np.errstate(divide="ignore", invalid="ignore"):
                 snr = 10.0 * np.log10(ps / pn)
             snr = np.where(pn == 0.0, np.inf, snr)
