@@ -123,7 +123,7 @@ def main() -> int:
     # pinned timing: best-of-REPS per query (VERDICT r2 item 2 — a single
     # run is hostage to neighbor steal on the shared sandbox host; the min
     # is the engine's number)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     bench_only = _bench_only_queries()
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}

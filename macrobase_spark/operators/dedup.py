@@ -227,6 +227,7 @@ def simhash_candidates(
     n_bands: int = 4,
     max_bucket: int | None = 10000,
     token_hash: str = "xxhash64",
+    cache: str = "local",
 ) -> DataFrame:
     """SimHash near-duplicate pairs.
 
@@ -244,7 +245,17 @@ def simhash_candidates(
     plate clusters; every member pair is a near-dup of every other, so
     emitting the quadratic pair list adds no information) are EXCLUDED from
     the pair join and logged. Set max_bucket=None for the exact semantics
-    the oracle verifies."""
+    the oracle verifies.
+
+    `cache` picks the materialization for the reused bands relation (same
+    vocabulary and trade-offs as checks.SuiteConfig.cache): "local" —
+    fastest, but non-replicated blocks with truncated lineage (an executor
+    loss kills the job); "persist" — MEMORY_AND_DISK_2 with lineage kept
+    (survives executor loss; the cluster default); "checkpoint" — reliable
+    storage, needs spark.sparkContext.setCheckpointDir. The blocks live
+    until the returned DataFrame is fully consumed — call
+    `spark.catalog.clearCache()` (or keep sessions short) if you invoke
+    this repeatedly in one long session."""
     sig = simhash_signature(df.select(id_col, text_col), id_col, text_col, token_hash=token_hash)
     band_bits = simhash_bits(token_hash) // n_bands
     mask = (1 << band_bits) - 1
@@ -260,9 +271,12 @@ def simhash_candidates(
     )
     if max_bucket is not None:
         # the narrow (doc, simhash, band-key) relation is consumed three
-        # times below (bucket counts, keep-join, pair self-join); checkpoint
-        # it so the token-explode + 60-vote signature lineage runs ONCE
-        bands = bands.localCheckpoint(eager=True)
+        # times below (bucket counts, keep-join, pair self-join);
+        # materialize it so the token-explode + 60-vote signature lineage
+        # runs ONCE
+        from macrobase_spark.operators.checks import _materialize
+
+        bands = _materialize(bands, cache)
         counts = bands.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
         dropped = counts.filter(F.col("_n") > max_bucket)
         n_dropped = dropped.count()  # group-grained, bounded by key space

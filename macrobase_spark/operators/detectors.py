@@ -576,7 +576,7 @@ def load_iforest_model(spark, path: str) -> IForest:
 _IFM = "read_parquet('/tmp/mb_iforest_model_v1_500.parquet/*.parquet')"
 
 _IFOREST_ORACLE = f"""
-    WITH nodes AS (SELECT * FROM read_parquet('/tmp/mb_iforest_model_v1_500.parquet/*.parquet')),
+    WITH nodes AS (SELECT * FROM {_IFM}),
     s0 AS (SELECT e.vec_id, e.embedding AS emb, n.node AS root, n.node
            FROM embeddings e CROSS JOIN (SELECT node FROM nodes WHERE root) n),
     s1 AS (SELECT p.vec_id, p.emb, p.root,

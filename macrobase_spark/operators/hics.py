@@ -425,7 +425,7 @@ def load_hics_models(spark, path: str) -> list:
 _HICSM = "read_parquet('/tmp/mb_hics_model_v1_500.parquet/*.parquet')"
 
 _HICS_ORACLE = f"""
-    WITH nodes AS (SELECT * FROM read_parquet('/tmp/mb_hics_model_v1_500.parquet/*.parquet')),
+    WITH nodes AS (SELECT * FROM {_HICSM}),
     s0 AS (SELECT e.vec_id, e.embedding AS emb, n.sub, n.node
            FROM embeddings e CROSS JOIN (SELECT sub, node FROM nodes WHERE root) n),
     s1 AS (SELECT p.vec_id, p.emb, p.sub,

@@ -420,7 +420,7 @@ def load_hst_model(spark, path: str, depth_limit: int = 8) -> HSTModel:
 _HSTM = "read_parquet('/tmp/mb_hst_model_v1_500.parquet/*.parquet')"
 
 _HST_ORACLE = f"""
-    WITH nodes AS (SELECT tree, node, feat, thr, mass FROM read_parquet('/tmp/mb_hst_model_v1_500.parquet/*.parquet')),
+    WITH nodes AS (SELECT tree, node, feat, thr, mass FROM {_HSTM}),
     trees AS (SELECT DISTINCT tree FROM nodes),
     s0 AS (SELECT e.vec_id, e.embedding AS emb, t.tree, 0 AS node
            FROM embeddings e CROSS JOIN trees t),

@@ -483,7 +483,7 @@ def load_rrcf_forest(spark, path: str, forget_threshold: int = 256) -> RRCFFores
 _RRCFM = "read_parquet('/tmp/mb_rrcf_model_v1_500.parquet/*.parquet')"
 
 _RRCF_ORACLE = f"""
-    WITH nodes AS (SELECT * FROM read_parquet('/tmp/mb_rrcf_model_v1_500.parquet/*.parquet')),
+    WITH nodes AS (SELECT * FROM {_RRCFM}),
     s0 AS (SELECT e.vec_id, e.embedding AS emb, t.tree, 0 AS node,
                   0.0 AS best
            FROM embeddings e CROSS JOIN (SELECT DISTINCT tree FROM nodes) t),

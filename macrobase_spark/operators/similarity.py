@@ -466,7 +466,17 @@ def ivf_artifacts_parquet(spark, sf_dir: str) -> tuple[str, str, np.ndarray]:
     n = e.count()
     apath = f"/tmp/mb_ivf_assign_v1_{n}.parquet"
     ppath = f"/tmp/mb_ivf_probe_v1_{n}.parquet"
+    cpath = f"/tmp/mb_ivf_centroids_v1_{n}.npy"
+    if (
+        os.path.isfile(cpath)
+        and os.path.isfile(f"{apath}/_SUCCESS")
+        and os.path.isfile(f"{ppath}/_SUCCESS")
+    ):
+        # full cache hit: the quantizer is part of the artifact set — refit
+        # would re-run the distributed trainer-sample job on every call
+        return apath, ppath, np.load(cpath)
     C = fit_ivf_centroids(e, "vec_id", "embedding", n_centroids=32)
+    np.save(cpath, C)
     if not os.path.isfile(f"{apath}/_SUCCESS"):
         ivf_assignments(e, "vec_id", "embedding", C).write.mode("overwrite").parquet(apath)
     if not os.path.isfile(f"{ppath}/_SUCCESS"):

@@ -103,6 +103,46 @@ def _znorm_params(stats):
     return out
 
 
+def _poi_schema(df: DataFrame, id_cols: list[str]) -> str:
+    return ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols]
+        + ["avg_score double", "__REL_SUBSPACES string"]
+    )
+
+
+def _lookout_search(
+    df, feature_cols, id_cols, poi_col, budget, dimensionality, n_trees,
+    train_rows, max_pois, seed,
+):
+    """Shared LookOut fit + search — the engine (`lookout_explain`) and the
+    oracle materializer (`lookout_artifacts_parquet`) both run exactly THIS
+    function, so the greedy choice the oracle replays in SQL cannot drift
+    from the one the registered query scores with. Fit one detector per
+    `dimensionality`-dim subspace, score the POIs, greedily choose `budget`
+    subspaces by marginal max-coverage gain. Returns (models, ids, S,
+    chosen); S is None and chosen empty when there are no POIs."""
+    col_idx = {c: i for i, c in enumerate(feature_cols)}
+    sample = _collect_sample(df, feature_cols, train_rows, seed)
+    subspaces = list(combinations(feature_cols, dimensionality))
+    models = _fit_models(sample, subspaces, col_idx, n_trees, seed)
+    ids, X = _collect_pois(df, feature_cols, id_cols, poi_col, max_pois)
+    if not ids:
+        return models, ids, None, []
+    S = np.column_stack(
+        [iforest_scores(m, X[:, [col_idx[c] for c in sub]]) for sub, m in models]
+    )  # (pois, subspaces)
+    # greedy max-coverage: marginal gain of Σ_i max over chosen
+    cur = np.zeros(len(ids))
+    chosen: list[int] = []
+    for _ in range(min(budget, len(models))):
+        gains = np.maximum(S - cur[:, None], 0.0).sum(axis=0)
+        gains[chosen] = -np.inf
+        j = int(np.argmax(gains))
+        chosen.append(j)
+        cur = np.maximum(cur, S[:, j])
+    return models, ids, S, chosen
+
+
 def lookout_explain(
     df: DataFrame,
     feature_cols: list[str],
@@ -117,30 +157,14 @@ def lookout_explain(
 ) -> DataFrame:
     """Returns one row per point-of-interest: (id_cols..., avg_score,
     __REL_SUBSPACES) over the greedily-chosen budget of subspaces."""
-    col_idx = {c: i for i, c in enumerate(feature_cols)}
-    sample = _collect_sample(df, feature_cols, train_rows, seed)
-    subspaces = list(combinations(feature_cols, dimensionality))
-    models = _fit_models(sample, subspaces, col_idx, n_trees, seed)
-    ids, X = _collect_pois(df, feature_cols, id_cols, poi_col, max_pois)
-    spark = df.sparkSession
-    schema = ", ".join(
-        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols]
-        + ["avg_score double", "__REL_SUBSPACES string"]
+    models, ids, S, chosen = _lookout_search(
+        df, feature_cols, id_cols, poi_col, budget, dimensionality, n_trees,
+        train_rows, max_pois, seed,
     )
+    spark = df.sparkSession
+    schema = _poi_schema(df, id_cols)
     if not ids:
         return spark.createDataFrame([], schema)
-    S = np.column_stack(
-        [iforest_scores(m, X[:, [col_idx[c] for c in sub]]) for sub, m in models]
-    )  # (pois, subspaces)
-    # greedy max-coverage: marginal gain of Σ_i max over chosen
-    cur = np.zeros(len(ids))
-    chosen: list[int] = []
-    for _ in range(min(budget, len(models))):
-        gains = np.maximum(S - cur[:, None], 0.0).sum(axis=0)
-        gains[chosen] = -np.inf
-        j = int(np.argmax(gains))
-        chosen.append(j)
-        cur = np.maximum(cur, S[:, j])
     rows = []
     for i, pid in enumerate(ids):
         label = ";".join(
@@ -195,6 +219,53 @@ def _refine(pool_feats: list[list[str]], z: np.ndarray, feature_cols, d2, beam_s
     return tuple(sorted(cands[0][0])) if cands else None
 
 
+def _refout_search(
+    df, feature_cols, id_cols, poi_col, d1, d2, psize, beam_size, n_trees,
+    train_rows, max_pois, seed,
+):
+    """Shared RefOut fit + search — run by both `refout_explain` and the
+    oracle materializer (`refout_artifacts_parquet`) so the refined pool
+    and z-moments the oracle replays cannot drift from the engine's.
+    Stage 1: seeded ceil(d·d1)-dim pool, fit + z-normalized pool scores
+    (moments: one Arrow pass). Stage 2: per-POI Welch-beam refinement.
+    Refit + re-normalize the refined pool. Returns (ids, X, col_idx,
+    ref_models, zr); ref_models is empty when there are no POIs or no
+    refinements survive."""
+    rng = np.random.default_rng(seed)
+    dim = len(feature_cols)
+    col_idx = {c: i for i, c in enumerate(feature_cols)}
+    pool_dim = max(min(int(np.ceil(dim * d1)), dim), 1)
+    pool: set = set()
+    while len(pool) < min(psize, _ncomb(dim, pool_dim)):
+        pool.add(tuple(sorted(rng.choice(dim, size=pool_dim, replace=False))))
+    pool_subs = [tuple(feature_cols[i] for i in s) for s in sorted(pool)]
+
+    sample = _collect_sample(df, feature_cols, train_rows, seed)
+    models = _fit_models(sample, pool_subs, col_idx, n_trees, seed)
+    ids, X = _collect_pois(df, feature_cols, id_cols, poi_col, max_pois)
+    if not ids:
+        return ids, X, col_idx, [], []
+
+    zp = _znorm_params(_moments_pass(df, feature_cols, models))
+    S = np.column_stack(
+        [
+            (iforest_scores(m, X[:, [col_idx[c] for c in sub]]) - zp[j][0]) / zp[j][1]
+            for j, (sub, m) in enumerate(models)
+        ]
+    )
+    pool_feats = [list(sub) for sub, _ in models]
+    refined: set[tuple] = set()
+    for i in range(len(ids)):
+        r = _refine(pool_feats, S[i], feature_cols, d2, beam_size)
+        if r:
+            refined.add(r)
+    if not refined:
+        return ids, X, col_idx, [], []
+    ref_models = _fit_models(sample, sorted(refined), col_idx, n_trees, seed)
+    zr = _znorm_params(_moments_pass(df, feature_cols, ref_models))
+    return ids, X, col_idx, ref_models, zr
+
+
 def refout_explain(
     df: DataFrame,
     feature_cols: list[str],
@@ -213,46 +284,15 @@ def refout_explain(
     """Returns one row per point-of-interest: (id_cols..., avg_score,
     __REL_SUBSPACES) over its top-k refined subspaces (z-normalized
     detector scores)."""
-    rng = np.random.default_rng(seed)
-    dim = len(feature_cols)
-    col_idx = {c: i for i, c in enumerate(feature_cols)}
-    pool_dim = max(min(int(np.ceil(dim * d1)), dim), 1)
-    pool: set = set()
-    while len(pool) < min(psize, _ncomb(dim, pool_dim)):
-        pool.add(tuple(sorted(rng.choice(dim, size=pool_dim, replace=False))))
-    pool_subs = [tuple(feature_cols[i] for i in s) for s in sorted(pool)]
-
-    sample = _collect_sample(df, feature_cols, train_rows, seed)
-    models = _fit_models(sample, pool_subs, col_idx, n_trees, seed)
-    ids, X = _collect_pois(df, feature_cols, id_cols, poi_col, max_pois)
+    ids, X, col_idx, ref_models, zr = _refout_search(
+        df, feature_cols, id_cols, poi_col, d1, d2, psize, beam_size, n_trees,
+        train_rows, max_pois, seed,
+    )
     spark = df.sparkSession
-    schema = ", ".join(
-        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols]
-        + ["avg_score double", "__REL_SUBSPACES string"]
-    )
-    if not ids:
+    schema = _poi_schema(df, id_cols)
+    if not ids or not ref_models:
         return spark.createDataFrame([], schema)
-
-    # stage 1: z-normalized pool scores (moments: one Arrow pass)
-    zp = _znorm_params(_moments_pass(df, feature_cols, models))
-    S = np.column_stack(
-        [
-            (iforest_scores(m, X[:, [col_idx[c] for c in sub]]) - zp[j][0]) / zp[j][1]
-            for j, (sub, m) in enumerate(models)
-        ]
-    )
-    # stage 2: per-POI refinement → refined pool
-    pool_feats = [list(sub) for sub, _ in models]
-    refined: set[tuple] = set()
-    for i in range(len(ids)):
-        r = _refine(pool_feats, S[i], feature_cols, d2, beam_size)
-        if r:
-            refined.add(r)
-    if not refined:
-        return spark.createDataFrame([], schema)
-    ref_models = _fit_models(sample, sorted(refined), col_idx, n_trees, seed)
-    # stage 3: z-normalized refined scores, per-POI top-k
-    zr = _znorm_params(_moments_pass(df, feature_cols, ref_models))
+    # z-normalized refined scores, per-POI top-k
     R = np.column_stack(
         [
             (iforest_scores(m, X[:, [col_idx[c] for c in sub]]) - zr[j][0]) / zr[j][1]
@@ -323,12 +363,21 @@ def _forest_rows(models, zparams=None):
     return rows
 
 
+# the ONE registered-query hyperparameter set: the artifact materializers
+# and the registered queries below must search with identical settings or
+# the oracle replay diverges — so they are stated once
+_Q_COMMON = dict(n_trees=40, train_rows=2048, max_pois=10000, seed=42)
+_Q_LOOKOUT = dict(budget=3, dimensionality=2, **_Q_COMMON)
+_Q_REFOUT = dict(d1=0.7, d2=2, psize=20, beam_size=100, **_Q_COMMON)
+
+
 def lookout_artifacts_parquet(spark, sf_dir: str) -> tuple[str, str]:
     """Materialize LookOut's outputs-defining state: the POI id set (the
     percentile cut is engine-side) and the GREEDILY-CHOSEN budget of
     subspace forests, in chosen order — so the per-POI scoring, plot
     labels, and averages are SQL-stateable. The greedy max-coverage SEARCH
-    stays gated by tests/test_subspace_explainers.py."""
+    itself is `_lookout_search` — the same code path the registered query
+    runs — and stays gated by tests/test_subspace_explainers.py."""
     import os
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -338,22 +387,9 @@ def lookout_artifacts_parquet(spark, sf_dir: str) -> tuple[str, str]:
     if os.path.isfile(f"{npath}/_SUCCESS") and os.path.isfile(f"{ppath}/_SUCCESS"):
         return npath, ppath
     df, feats = _emb_with_poi(spark, sf_dir)
-    col_idx = {c: i for i, c in enumerate(feats)}
-    sample = _collect_sample(df, feats, 2048, 42)
-    subspaces = list(combinations(feats, 2))
-    models = _fit_models(sample, subspaces, col_idx, 40, 42)
-    ids, X = _collect_pois(df, feats, ["vec_id"], "poi", 10000)
-    S = np.column_stack(
-        [iforest_scores(m, X[:, [col_idx[c] for c in sub]]) for sub, m in models]
+    models, ids, _, chosen = _lookout_search(
+        df, feats, ["vec_id"], "poi", **_Q_LOOKOUT
     )
-    cur = np.zeros(len(ids))
-    chosen: list[int] = []
-    for _ in range(min(3, len(models))):
-        gains = np.maximum(S - cur[:, None], 0.0).sum(axis=0)
-        gains[chosen] = -np.inf
-        j = int(np.argmax(gains))
-        chosen.append(j)
-        cur = np.maximum(cur, S[:, j])
     spark.createDataFrame(
         _forest_rows([models[j] for j in chosen]), _FOREST_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(npath)
@@ -365,8 +401,9 @@ def lookout_artifacts_parquet(spark, sf_dir: str) -> tuple[str, str]:
 
 def refout_artifacts_parquet(spark, sf_dir: str) -> tuple[str, str]:
     """Same recipe for RefOut: POI ids + the REFINED subspace forests with
-    their z-normalization moments (computed over the full relation). The
-    pool sampling + per-POI Welch-refinement SEARCH stays test-gated."""
+    their z-normalization moments (computed over the full relation), via
+    the same `_refout_search` the registered query runs. The pool sampling
+    + per-POI Welch-refinement SEARCH stays test-gated."""
     import os
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -376,32 +413,9 @@ def refout_artifacts_parquet(spark, sf_dir: str) -> tuple[str, str]:
     if os.path.isfile(f"{npath}/_SUCCESS") and os.path.isfile(f"{ppath}/_SUCCESS"):
         return npath, ppath
     df, feats = _emb_with_poi(spark, sf_dir)
-    col_idx = {c: i for i, c in enumerate(feats)}
-    rng = np.random.default_rng(42)
-    dim = len(feats)
-    pool_dim = max(min(int(np.ceil(dim * 0.7)), dim), 1)
-    pool: set = set()
-    while len(pool) < min(20, _ncomb(dim, pool_dim)):
-        pool.add(tuple(sorted(rng.choice(dim, size=pool_dim, replace=False))))
-    pool_subs = [tuple(feats[i] for i in s) for s in sorted(pool)]
-    sample = _collect_sample(df, feats, 2048, 42)
-    models = _fit_models(sample, pool_subs, col_idx, 40, 42)
-    ids, X = _collect_pois(df, feats, ["vec_id"], "poi", 10000)
-    zp = _znorm_params(_moments_pass(df, feats, models))
-    S = np.column_stack(
-        [
-            (iforest_scores(m, X[:, [col_idx[c] for c in sub]]) - zp[j][0]) / zp[j][1]
-            for j, (sub, m) in enumerate(models)
-        ]
+    ids, _, _, ref_models, zr = _refout_search(
+        df, feats, ["vec_id"], "poi", **_Q_REFOUT
     )
-    pool_feats = [list(sub) for sub, _ in models]
-    refined: set[tuple] = set()
-    for i in range(len(ids)):
-        r = _refine(pool_feats, S[i], feats, 2, 100)
-        if r:
-            refined.add(r)
-    ref_models = _fit_models(sample, sorted(refined), col_idx, 40, 42)
-    zr = _znorm_params(_moments_pass(df, feats, ref_models))
     spark.createDataFrame(
         _forest_rows(ref_models, zr), _FOREST_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(npath)
@@ -512,7 +526,7 @@ def lookout_explain_embeddings(spark, sf_dir: str) -> DataFrame:
     the per-POI scoring/labels are replayed by the oracle in SQL."""
     lookout_artifacts_parquet(spark, sf_dir)
     df, feats = _emb_with_poi(spark, sf_dir)
-    res = lookout_explain(df, feats, ["vec_id"], "poi", budget=3, n_trees=40)
+    res = lookout_explain(df, feats, ["vec_id"], "poi", **_Q_LOOKOUT)
     return res.orderBy(F.desc("avg_score"), "vec_id").limit(20)
 
 
@@ -522,7 +536,5 @@ def refout_explain_embeddings(spark, sf_dir: str) -> DataFrame:
     materialized and the top-k scoring/labels replayed by the oracle."""
     refout_artifacts_parquet(spark, sf_dir)
     df, feats = _emb_with_poi(spark, sf_dir)
-    res = refout_explain(
-        df, feats, ["vec_id"], "poi", psize=20, topk=3, n_trees=40
-    )
+    res = refout_explain(df, feats, ["vec_id"], "poi", topk=3, **_Q_REFOUT)
     return res.orderBy(F.desc("avg_score"), "vec_id").limit(20)

@@ -85,8 +85,6 @@ def stream_jdbc(
     """
     import time as _time
 
-    from pyspark.sql import functions as F
-
     if fetch is None:
 
         def fetch(spark_, offset, limit):  # pragma: no cover - needs a driver
@@ -104,12 +102,19 @@ def stream_jdbc(
     max_id = -1
     empty = 0
     while True:
-        batch = fetch(spark, max_id, max_batch_size)
-        rows = batch.count()
-        if rows > 0:
+        lazy = fetch(spark, max_id, max_batch_size)
+        # Pin the page to ONE snapshot: a lazy JDBC DataFrame would re-run
+        # the page query for the count, the max-id and the callback's own
+        # action — three reads of a LIVE table that can each see a
+        # different page, skipping or duplicating rows. The reference reads
+        # one cursor (SqlStreamReader.java:62-76); a page is bounded by
+        # max_batch_size, so one driver collect is the faithful (and 3×
+        # cheaper) equivalent.
+        page = lazy.collect()
+        if page:
             empty = 0
-            max_id = batch.agg(F.max(id_column)).collect()[0][0]
-            callback(batch)
+            max_id = max(row[id_column] for row in page)
+            callback(spark.createDataFrame(page, schema=lazy.schema))
             delivered += 1
             if max_batches is not None and delivered >= max_batches:
                 return delivered

@@ -35,9 +35,19 @@ class LineStreamGenerator:
         self.max_bound = max_bound
 
     def fetch(self) -> str:
-        """Next data line, or "" at end of file (StreamGenerator.fetch)."""
-        line = self._fh.readline()
-        return line.rstrip("\n") if line else ""
+        """Next non-blank data line, or "" at end of file
+        (StreamGenerator.fetch). Blank lines are skipped: "" is the EOF
+        sentinel, so a mid-file blank line must not masquerade as it (it
+        would silently terminate the fixed-size batch replay and drop all
+        remaining data); a blank CSV line carries no fields anyway — the
+        chunk path filters them after parse."""
+        while True:
+            line = self._fh.readline()
+            if not line:
+                return ""
+            line = line.rstrip("\n")
+            if line:
+                return line
 
     def fetch_chunk(self, seconds: int) -> list[str]:
         """~`seconds` worth of lines: a seeded draw from [1, max_bound *

@@ -74,35 +74,33 @@ class MacroBaseSQL:
         n = df.limit(self.MAX_COLLECT_ROWS + 1).count()
         if n > self.MAX_COLLECT_ROWS:
             # distributed spill, SAME output contract as the pandas path:
-            # one file at `path`, null/NaN -> empty field, inf -> "inf".
-            # Executors write part CSVs in parallel; the driver then does a
-            # cheap sequential file-level concat (no row ever materializes
-            # in driver memory).
+            # one file at `path`, byte-identical spellings. Rather than
+            # re-implementing pandas' per-type CSV formatting with Spark
+            # expressions (float repr vs Java toString sci-notation
+            # thresholds, True/False vs true/false, timestamp layouts —
+            # each a divergence), every executor formats its Arrow batches
+            # WITH pandas.to_csv — the same formatter the small path uses —
+            # and ships one pre-rendered text blob per batch (embedded
+            # quoted newlines stay inside the blob, so the text writer's
+            # record framing is safe). The driver then does a cheap
+            # sequential file-level concat (no row ever materializes in
+            # driver memory).
             import glob
             import shutil
 
             tmp = path + ".__parts__"
-            # nanValue/positiveInf are READ options; on write Spark formats
-            # doubles via Java toString (NaN/Infinity). Normalize float
-            # columns to the pandas-path spellings explicitly.
-            out_df = df
-            for f in df.schema.fields:
-                if f.dataType.typeName() in ("double", "float"):
-                    c = F.col(f.name)
-                    out_df = out_df.withColumn(
-                        f.name,
-                        F.when(F.isnan(c), F.lit(None))
-                        .when(c == float("inf"), F.lit("inf"))
-                        .when(c == float("-inf"), F.lit("-inf"))
-                        .otherwise(c.cast("string")),
-                    )
-            (
-                out_df.write.mode("overwrite")
-                .option("header", False)
-                .option("nullValue", "")
-                .option("emptyValue", "")
-                .csv(tmp)
-            )
+
+            def _fmt(batches):
+                import pyarrow as pa
+
+                for b in batches:
+                    txt = b.to_pandas().to_csv(index=False, header=False)
+                    if txt:
+                        yield pa.RecordBatch.from_pydict(
+                            {"csv": [txt.removesuffix("\n")]}
+                        )
+
+            df.mapInArrow(_fmt, "csv string").write.mode("overwrite").text(tmp)
             with open(path, "w", encoding="utf-8") as out:
                 out.write(",".join(df.columns) + "\n")
                 for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):

@@ -98,12 +98,21 @@ def test_write_csv_distributed_spill_contract(spark, tmp_path, monkeypatch):
 
     sql = MacroBaseSQL(spark)
     monkeypatch.setattr(MacroBaseSQL, "MAX_COLLECT_ROWS", 5)
-    df = spark.createDataFrame(
-        [(i, float(i)) for i in range(8)] + [(8, float("nan")), (9, float("inf")), (10, None)],
-        "id long, v double",
+    # rows chosen to hit every spelling divergence between pandas repr and
+    # Spark/Java toString: NaN/inf/null, booleans (True vs true), doubles
+    # in Java's sci-notation ranges (>=1e7, <1e-3)
+    rows = (
+        [(i, float(i), False) for i in range(8)]
+        + [
+            (8, float("nan"), True),
+            (9, float("inf"), True),
+            (10, None, False),
+            (11, 12000000.0, True),
+            (12, 0.0001, False),
+        ]
     )
-    small = spark.createDataFrame([(1, float("nan")), (2, float("inf")), (3, None)],
-                                  "id long, v double")
+    df = spark.createDataFrame(rows, "id long, v double, flag boolean")
+    small = spark.createDataFrame(rows[8:], "id long, v double, flag boolean")
     big_path, small_path = str(tmp_path / "big.csv"), str(tmp_path / "small.csv")
     sql.write_csv(df, big_path)
     sql.write_csv(small, small_path)
@@ -111,11 +120,10 @@ def test_write_csv_distributed_spill_contract(spark, tmp_path, monkeypatch):
     import os
     assert os.path.isfile(big_path)  # ONE file, not a directory
     lines = sorted(open(big_path).read().strip().split("\n")[1:])
-    # same spellings as the pandas path
+    # same spellings as the pandas path for EVERY shared row
     small_lines = sorted(open(small_path).read().strip().split("\n")[1:])
     by_id = {ln.split(",")[0]: ln.split(",", 1)[1] for ln in lines}
     small_by_id = {ln.split(",")[0]: ln.split(",", 1)[1] for ln in small_lines}
-    assert by_id["8"] == small_by_id["1"]   # NaN
-    assert by_id["9"] == small_by_id["2"]   # inf
-    assert by_id["10"] == small_by_id["3"]  # null
-    assert len(lines) == 11
+    for rid in small_by_id:
+        assert by_id[rid] == small_by_id[rid], rid
+    assert len(lines) == 13
