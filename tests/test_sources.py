@@ -160,6 +160,54 @@ def test_stream_jdbc_polling(spark):
     assert n2 == 3
 
 
+def test_stream_jdbc_single_snapshot(spark):
+    """Each poll must execute its page query exactly once — the count, the
+    max-id advance and the callback's rows all come from ONE snapshot (the
+    reference reads one cursor). A lazy page would re-run the query per
+    action and could skip/duplicate rows on a live table."""
+    from macrobase_spark.sources.jdbc_source import stream_jdbc
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def fetch(spark_, offset, limit):
+        def bump(batches):
+            for pdf in batches:
+                acc.add(1)
+                yield pdf[pdf["id"] > offset].head(limit)
+
+        base = spark_.createDataFrame([(i,) for i in range(5)], "id long").coalesce(1)
+        return base.mapInPandas(bump, "id long")
+
+    seen = []
+    n = stream_jdbc(
+        spark, "jdbc:ignored", "q", "id",
+        lambda df: seen.append(df.count()),
+        max_batch_size=10, poll_interval=0.0, stop_after_empty_polls=1,
+        fetch=fetch,
+    )
+    assert n == 1 and seen == [5]
+    # one execution for the delivering poll + one for the empty stop poll
+    assert acc.value == 2
+
+
+def test_line_stream_blank_line_not_eof(spark, tmp_path):
+    """A mid-file blank line must not masquerade as the EOF sentinel: the
+    fixed-size batch replay previously stopped there, silently dropping
+    every remaining line."""
+    from macrobase_spark.sources.line_stream import stream_csv_lines
+
+    p = tmp_path / "b.csv"
+    p.write_text("name,usage\nr0,0.5\n\nr1,1.5\nr2,2.5\n")
+    got = []
+    n = stream_csv_lines(
+        spark, str(p),
+        lambda df: got.extend(r["name"] for r in df.collect()),
+        double_cols=["usage"], batch_lines=2,
+    )
+    assert got == ["r0", "r1", "r2"]
+    assert n == 2
+
+
 def test_line_stream_generator(spark, tmp_path):
     """StreamGenerator contract: header consumed once, line-at-a-time fetch
     with "" at EOF, seeded chunk replay covering every line exactly once."""
