@@ -146,7 +146,12 @@ def _ref_matrix(sr: int, ns: int, f0s: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def snr_db(signal: np.ndarray, decoded: np.ndarray) -> float:
-    """SNR of decoded against the reference signal, in dB."""
+    """SNR of decoded against the reference signal, in dB.
+
+    Edge precedence matches the batch kernel (score_record_batch): a
+    zero-power reference is -inf (nothing to validate against — a fail)
+    even when the noise is also zero; +inf only for an exact match of a
+    real signal."""
     n = min(len(signal), len(decoded))
     if n == 0:
         return float("-inf")
@@ -154,10 +159,10 @@ def snr_db(signal: np.ndarray, decoded: np.ndarray) -> float:
     noise = d - s
     ps = float(np.sum(s * s))
     pn = float(np.sum(noise * noise))
-    if pn == 0.0:
-        return float("inf")
     if ps == 0.0:
         return float("-inf")
+    if pn == 0.0:
+        return float("inf")
     return 10.0 * np.log10(ps / pn)
 
 
@@ -352,8 +357,13 @@ def score_record_batch(b):
             # noise matrix is never materialized and Σref² comes from the
             # render cache: 3 passes over the samples instead of 5 — the
             # scan stage is memory-bus-bound at high core counts, so saved
-            # traffic is saved wall-clock (cancellation is benign: pn is
-            # ≥ quantization power ~3e-5·ps while fp error is ~1e-16·ps).
+            # traffic is saved wall-clock. Cancellation is bounded: pn is
+            # floored by the int16 quantization POWER (~1e-10·ps for a
+            # noiseless clip) while the expansion's fp error is ~1e-15·ps,
+            # so SNR is off by at most ~1e-5 dB — and only for near-exact
+            # clips far above the 30 dB threshold, where decisions never
+            # flip (near-threshold clips have real noise that dwarfs the
+            # rounding). Gated by tests/test_audio_kernel_property.py.
             P = np.empty((len(chunk), ns), dtype=np.float64)
             for j, i in enumerate(chunk):
                 P[j] = decoded[i]

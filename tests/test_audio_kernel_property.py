@@ -1,0 +1,134 @@
+"""Property-based gates for the audio scoring kernel (no Spark session —
+pure numpy/pyarrow, so hypothesis can afford many examples).
+
+The batch scorer expands Σ(P−ref)² = ΣP² − 2ΣP·ref + Σref² and caches the
+reference powers; these tests pin it to the naive per-clip definition
+(decode_wav → render_reference → snr_db) on arbitrary clip mixes, and pin
+decode_wav's total-function contract on arbitrary byte mutations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from macrobase_spark.operators.audio import (
+    decode_wav,
+    render_reference,
+    score_record_batch,
+    snr_db,
+    tone_hz,
+    wav_bytes,
+)
+
+
+def _clip_payload(idx: int, sr: int, ns: int, noise_amp: float, rng_seed: int) -> bytes:
+    """A clip like the fixture's: quantized reference render + optional noise."""
+    ref = render_reference(idx, sr, ns)
+    rng = np.random.default_rng(rng_seed)
+    sig = ref + noise_amp * rng.standard_normal(ns)
+    pcm = np.clip(np.round(sig * 32768.0), -32768, 32767).astype(np.int16)
+    return wav_bytes(pcm, sr)
+
+
+clip_strategy = st.tuples(
+    st.integers(min_value=0, max_value=10**9),        # clip index
+    st.sampled_from([8000, 16000, 22050, 44100]),     # sr
+    st.integers(min_value=0, max_value=3000),         # n_samples
+    st.sampled_from([0.0, 0.001, 0.01, 0.2]),         # noise amplitude
+    st.sampled_from(["ok", "ok", "ok", "truncated", "garbage", "empty"]),
+)
+
+
+def _batch(clips):
+    rows = []
+    for i, (idx, sr, ns, amp, mode) in enumerate(clips):
+        payload = _clip_payload(idx, sr, ns, amp, rng_seed=idx + ns)
+        if mode == "truncated":
+            payload = payload[: max(0, len(payload) - 1 - ns)]
+        elif mode == "garbage":
+            payload = b"\x00" * len(payload)
+        elif mode == "empty":
+            payload = b""
+        rows.append(
+            {
+                "clip_id": f"clip_{idx:012d}",
+                "sr_hz": sr,
+                "dur_ms": int(1000 * ns / sr),
+                "codec": "pcm16",
+                "transcript": f"t{i}",
+                "bytes": payload,
+            }
+        )
+    return pa.RecordBatch.from_pylist(rows)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(clip_strategy, min_size=1, max_size=12))
+def test_batch_scorer_matches_naive_definition(clips):
+    out = score_record_batch(_batch(clips)).to_pylist()
+    assert len(out) == len(clips)
+    for row, (idx, sr, ns, amp, mode) in zip(out, clips):
+        payload = _clip_payload(idx, sr, ns, amp, rng_seed=idx + ns)
+        if mode == "truncated":
+            payload = payload[: max(0, len(payload) - 1 - ns)]
+        elif mode == "garbage":
+            payload = b"\x00" * len(payload)
+        elif mode == "empty":
+            payload = b""
+        dec = decode_wav(payload)
+        if dec is None:
+            assert not row["decode_ok"]
+            assert row["snr_db"] == float("-inf")
+            continue
+        dsr, pcm = dec
+        assert row["decode_ok"]
+        assert row["sr_match"] == (dsr == sr)
+        ref = render_reference(idx, dsr, len(pcm))
+        expected = snr_db(ref, pcm)
+        got = row["snr_db"]
+        if np.isinf(expected) or np.isinf(got):
+            # ns == 0 → -inf (no signal); exact render → +inf. The expanded
+            # form must agree on the inf sign, not just be "large".
+            assert got == expected
+        else:
+            # the algebraic expansion may differ from the direct subtraction
+            # only at fp-rounding level: for a noiseless clip the noise power
+            # is floored by int16 quantization (~1e-10·ps) while the
+            # cancellation error is ~1e-15·ps → ≤ ~1e-5 dB, and only on
+            # clips far above the 30 dB decision threshold
+            assert abs(got - expected) < 1e-4, (got, expected, idx, sr, ns, amp)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=0, max_value=60),
+)
+def test_decode_wav_total_on_mutations(idx, sr, ns, cut):
+    """decode_wav never raises: any truncation either round-trips or is
+    None; successful decodes round-trip the sample rate and length."""
+    payload = _clip_payload(idx, sr, ns, 0.0, rng_seed=idx)
+    mutated = payload[: len(payload) - cut]
+    dec = decode_wav(mutated)
+    if dec is not None:
+        dsr, pcm = dec
+        assert dsr == sr
+        # the data-length header survived the cut, so the samples did too
+        assert len(pcm) <= ns
+    full = decode_wav(payload)
+    assert full is not None
+    assert full[0] == sr and len(full[1]) == ns
+
+
+def test_reference_render_cache_consistency():
+    """tone_hz is the only coupling between clip index and render; the same
+    (sr, ns, f0) must yield identical cached and uncached powers."""
+    idx = np.array([123456], dtype=np.uint64)
+    f0 = float(tone_hz(idx)[0])
+    r1 = render_reference(123456, 16000, 1600)
+    r2 = 0.8 * np.sin(2 * np.pi * f0 * (np.arange(1600) / 16000.0))
+    assert np.array_equal(r1, r2)
