@@ -1,13 +1,14 @@
 """Image + video columns as opaque binary with typed metadata — the
 multimodal plumbing mirror of operators/audio.py.
 
-Same discipline as the audio path: decode is REAL for a simple,
-dependency-free format (binary PPM `P6`, parsed with numpy — the image
-analogue of RIFF/PCM16 WAV), and the container-less runtime keeps
-jpeg/png/webp decode behind an honest NotImplementedError stub
-(`decode_compressed_image`) — the Spark-side plumbing (schema, Arrow
-batching, UDF shapes, partitioning) is identical either way, so swapping a
-real codec in is a one-function change.
+Same discipline as the audio path: decode is REAL for two dependency-free
+formats — binary PPM `P6` (numpy) and non-interlaced 8-bit PNG (pure
+stdlib zlib+struct: chunk walk, CRC verify, inflate, the five scanline
+unfilters) — while jpeg/webp, whose DCT/VP8 codecs the runtime lacks, stay
+behind an honest NotImplementedError stub (`decode_compressed_image`).
+The Spark-side plumbing (schema, Arrow batching, UDF shapes, partitioning)
+is format-agnostic via the magic-sniffing `decode_image` entry point, so
+another codec is a one-line dispatch.
 
 Operators:
 - `image_features`: mapInArrow pass → decode verdict + width/height +
@@ -69,10 +70,154 @@ def decode_ppm(raw: bytes) -> np.ndarray | None:
         return None
 
 
+# -- PNG codec: real, pure stdlib (zlib + struct) ---------------------------
+#
+# Non-interlaced 8-bit PNG (gray / RGB / RGBA) is fully decodable without
+# external libraries: chunk walk + zlib inflate + the five scanline
+# unfilters from the PNG spec (RFC 2083 §6). This upgrades one compressed
+# format from "honest stub" to real; jpeg/webp stay stubbed (DCT/VP8 need
+# codec libs).
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PNG (color type 2, bit depth 8, filter 0/scanline)."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = img.astype(np.uint8)
+    scanlines = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(data: bytes, h: int, w: int, ch: int) -> np.ndarray | None:
+    """Reverse per-scanline filtering → (h, w*ch) uint8 matrix. Filter Up is
+    vectorized; Sub/Average/Paeth recur along x so they run per-byte (fine:
+    encoders mostly emit None/Up for synthetic content, and scanlines are
+    short)."""
+    stride = w * ch
+    if len(data) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = data[pos]
+        line = np.frombuffer(data[pos + 1 : pos + 1 + stride], dtype=np.uint8)
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype == 1:  # Sub
+            cur = out[y]
+            cur[:ch] = line[:ch]
+            for x in range(ch, stride):
+                cur[x] = (int(line[x]) + int(cur[x - ch])) & 0xFF
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+    return out
+
+
+def decode_png(raw: bytes) -> np.ndarray | None:
+    """Non-interlaced 8-bit PNG → (h, w, 3) uint8; None on corruption
+    (bad signature, CRC mismatch, zlib error, short data, unsupported
+    layout). Gray broadcasts to RGB; RGBA drops alpha."""
+    import struct
+    import zlib
+
+    if raw is None or len(raw) < 8 + 25 or raw[:8] != PNG_MAGIC:
+        return None
+    try:
+        pos, ihdr, idat = 8, None, []
+        while pos + 8 <= len(raw):
+            (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+            typ = raw[pos + 4 : pos + 8]
+            data = raw[pos + 8 : pos + 8 + ln]
+            if len(data) < ln or pos + 12 + ln > len(raw):
+                return None  # truncated chunk
+            (crc,) = struct.unpack(">I", raw[pos + 8 + ln : pos + 12 + ln])
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                return None  # bit-level corruption
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = ihdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        ch = {0: 1, 2: 3, 6: 4}.get(ctype)
+        if ch is None or w <= 0 or h <= 0:
+            return None
+        data = zlib.decompress(b"".join(idat))
+        mat = _png_unfilter(data, h, w, ch)
+        if mat is None:
+            return None
+        px = mat.reshape(h, w, ch)
+        if ch == 1:
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, :3]
+    except (zlib.error, struct.error, ValueError):
+        return None
+
+
+def decode_image(raw: bytes) -> np.ndarray | None:
+    """Magic-sniffing decode: PPM (P6) or PNG → (h, w, 3) uint8, None on
+    corruption or unsupported format. The single entry every image operator
+    uses, so a new codec is a one-line dispatch."""
+    if raw is None or len(raw) < 8:
+        return None
+    if raw[:2] == b"P6":
+        return decode_ppm(raw)
+    if raw[:8] == PNG_MAGIC:
+        return decode_png(raw)
+    return None
+
+
 def decode_compressed_image(fmt: str, raw: bytes):
-    """jpeg/png/webp decode — the runtime has no image codec libraries; the
-    surrounding plumbing is format-agnostic, so this is a one-function
-    swap (same contract as audio.decode_compressed)."""
+    """Compressed-image decode dispatch. PNG is REAL (pure stdlib,
+    `decode_png`); jpeg/webp need DCT/VP8 codec libraries the runtime
+    lacks, so they stay honestly stubbed (same contract as
+    audio.decode_compressed)."""
+    if fmt == "png":
+        return decode_png(raw)
     raise NotImplementedError(f"decode for image format {fmt!r} requires external libraries")
 
 
@@ -116,7 +261,7 @@ def image_features(df: DataFrame, id_col: str = "image_id", bytes_col: str = "by
             lm = np.zeros(n)
             ls = np.zeros(n)
             for i, raw in enumerate(pdf[bytes_col]):
-                img = decode_ppm(raw)
+                img = decode_image(raw)
                 if img is None:
                     continue
                 ok[i] = True
@@ -162,7 +307,7 @@ def resize_images(
         for pdf in batches:
             ids, oks, outs = [], [], []
             for i, raw in enumerate(pdf[bytes_col]):
-                img = decode_ppm(raw)
+                img = decode_image(raw)
                 ids.append(pdf[id_col].iloc[i])
                 if img is None:
                     oks.append(False)
@@ -388,3 +533,69 @@ def video_frame_stats(spark, sf_dir: str) -> DataFrame:
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
         F.round(F.avg("luma_mean"), 4).alias("avg_luma"),
     ).withColumnRenamed("image_id", "video_id")
+
+
+def png_features_parquet(spark, sf_dir: str) -> str:
+    """Materialize per-image features of the PNG fixture (ONE decode pass
+    through the real stdlib PNG codec) to parquet for the DuckDB oracle —
+    same recipe as image_features_parquet."""
+    import os
+
+    from macrobase_spark.sources.images import generate_png_images
+
+    n = _images_n(sf_dir)
+    path = f"/tmp/mb_pngfeat_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        imgs = generate_png_images(spark, n)
+        (
+            image_features(imgs)
+            .join(imgs.select("image_id", "label"), "image_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def png_feature_stats_pipeline(spark, sf_dir: str) -> DataFrame:
+    """Full synthesize → PNG-encode → PNG-decode → agg in one plan — the
+    BENCH entry, so the timed number includes inflate + unfilter."""
+    from macrobase_spark.sources.images import generate_png_images
+
+    imgs = generate_png_images(spark, _images_n(sf_dir))
+    feats = image_features(imgs).join(imgs.select("image_id", "label"), "image_id")
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("luma_mean"))), 4).alias("avg_luma"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("mean_r"))), 4).alias("avg_r"),
+    )
+
+
+_PNGF = "read_parquet('/tmp/mb_pngfeat_v1_400.parquet/*.parquet')"
+
+
+@register(
+    "png_feature_stats",
+    f"""
+    SELECT label,
+           count(*) AS n,
+           CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           round(avg(CASE WHEN decode_ok THEN luma_mean END), 4) AS avg_luma,
+           round(avg(CASE WHEN decode_ok THEN mean_r END), 4) AS avg_r
+    FROM {_PNGF}
+    GROUP BY label
+    """,
+)
+def png_feature_stats(spark, sf_dir: str) -> DataFrame:
+    """Per-label profile of the PNG fixture through the REAL pure-stdlib
+    PNG decode (zlib inflate + CRC verify + scanline unfilter): decode rate
+    (planted bit-flip corruption and truncation both land as
+    decode_ok=false via CRC/short-data checks) + channel/luma means.
+    Aggregates the materialized feature relation the oracle also reads."""
+    feats = spark.read.parquet(png_features_parquet(spark, sf_dir))
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("luma_mean"))), 4).alias("avg_luma"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("mean_r"))), 4).alias("avg_r"),
+    )

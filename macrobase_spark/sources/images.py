@@ -99,3 +99,39 @@ def generate_videos(
     return spark.range(0, n, numPartitions=parts).mapInPandas(
         gen, "video_id string, bytes binary, n_frames int"
     )
+
+
+def generate_png_images(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic PNG table — the compressed-format mirror of
+    `generate_images`, exercising the pure-stdlib PNG codec
+    (operators/image.encode_png/decode_png) end-to-end.
+
+    Planted violations (disjoint residues from the PPM fixture's, so a mixed
+    union keeps every class recoverable):
+    - corrupt payload    id % 89 == 11  (one IDAT byte flipped → CRC mismatch)
+    - truncated payload  id % 113 == 17 (blob cut mid-chunk)
+    """
+    from macrobase_spark.operators.image import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = SIZES[i % len(SIZES)]
+                raw = encode_png(image_array(i, w, h))
+                if i % 89 == 11:  # corrupt: flip a byte inside the IDAT chunk
+                    b = bytearray(raw)
+                    b[len(b) // 2] ^= 0xFF
+                    raw = bytes(b)
+                elif i % 113 == 17:  # truncated
+                    raw = raw[: len(raw) // 2]
+                rows.append(
+                    (f"png_{i:010d}", raw, w, h, "png", LABELS[i % len(LABELS)])
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "width", "height", "fmt", "label"]
+            )
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)

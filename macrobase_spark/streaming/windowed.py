@@ -278,7 +278,10 @@ def count_tumbling_window(df: DataFrame, order_col: str, size: int) -> DataFrame
 
 def count_sliding_window(df: DataFrame, order_col: str, size: int, slide: int) -> DataFrame:
     """Explode each row into every sliding count-window that contains it
-    (window w covers ordinals [w*slide, w*slide+size))."""
+    (window w covers ordinals [w*slide, w*slide+size)). When slide > size,
+    gap rows belong to NO window — guarded explicitly, since sequence(a, b)
+    with a > b generates a DESCENDING range (it would silently assign every
+    gap row to two bogus windows)."""
     w = Window.orderBy(order_col)
     ord_ = F.col("_ord")
     first = F.greatest(
@@ -287,6 +290,9 @@ def count_sliding_window(df: DataFrame, order_col: str, size: int, slide: int) -
     last = F.floor(ord_ / F.lit(slide)).cast("long")
     return (
         df.withColumn("_ord", F.row_number().over(w) - 1)
-        .withColumn("window_id", F.explode(F.sequence(first, last)))
-        .drop("_ord")
+        .withColumn("_first", first)
+        .withColumn("_last", last)
+        .filter(F.col("_first") <= F.col("_last"))
+        .withColumn("window_id", F.explode(F.sequence("_first", "_last")))
+        .drop("_ord", "_first", "_last")
     )

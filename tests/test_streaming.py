@@ -85,15 +85,21 @@ def test_stream_matches_batch(spark, planted_stream, tmp_path):
         # watermark passes every data window and a subsequent micro-batch
         # emits the finalized windows (append mode emits on the batch AFTER
         # the watermark moves; a sentinel in the last batch would be a
-        # no-op). Sentinel windows never emit: no outliers. Retried because
-        # a multi-file append can still land every sentinel in one batch.
-        for day in range(2, 6):
+        # no-op). Sentinel windows never emit: no outliers. KEEP appending
+        # until the sink is non-empty (bounded): a multi-file append can
+        # land several sentinels in one batch, and the file source's
+        # directory listing can momentarily miss a just-written file, so a
+        # fixed small retry count still raced (r3 verdict flagged the
+        # flake). Each sentinel uses a strictly later timestamp so every
+        # extra file advances the watermark again.
+        for attempt in range(2, 22):
             spark.createDataFrame(
-                [(99990 + day, "z", 0.0, f"2024-01-{day:02d} 00:00:00")],
+                [(99990 + attempt, "z", 0.0, f"2024-{1 + attempt // 28:02d}-{1 + attempt % 28:02d} 00:00:00")],
                 "id long, attr string, value double, ts_s string",
             ).select(
                 "id", "attr", "value", F.to_timestamp("ts_s").alias("ts")
             ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
             q.processAllAvailable()
             if spark.table("winexp").count() > 0:
                 break
@@ -206,3 +212,60 @@ def test_count_windows(spark):
         for r in count_sliding_window(df, "i", 4, 2).filter(F.col("window_id") == 1).collect()
     }
     assert rows_w1 == {2, 3, 4, 5}
+
+
+def test_stream_count_sliding_stateful(spark, tmp_path):
+    """Stateful count-SLIDING windows (stream) == batch count_sliding_window
+    per key: same window ids, same (n, sum) aggregates, windows emit
+    exactly once even when they span micro-batch boundaries; slide<size
+    (overlap) and slide>size (gaps) both covered."""
+    import glob
+    import os
+    import shutil
+
+    from macrobase_spark.streaming.stateful import stream_count_sliding
+
+    src = str(tmp_path / "sw_src")
+    rows = [("a", 2.0)] * 11 + [("b", 3.0)] * 7
+    df = spark.createDataFrame(rows, "k string, v double")
+    for i in range(3):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    merged = str(tmp_path / "sw_in")
+    os.makedirs(merged)
+    for i, f in enumerate(sorted(glob.glob(f"{src}/f*/part-*.parquet"))):
+        shutil.copy(f, f"{merged}/{i:03d}.parquet")
+
+    for size, slide in [(4, 2), (2, 3)]:
+        stream = (
+            spark.readStream.schema("k string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(merged)
+        )
+        out = stream_count_sliding(stream, "k", "v", size=size, slide=slide)
+        name = f"sw_{size}_{slide}"
+        q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                (r["key"], r["window_id"], r["n"], r["sum_value"])
+                for r in spark.table(name).collect()
+            )
+        finally:
+            q.stop()
+        # batch oracle: per key (count windows are per-key in a stream),
+        # only COMPLETE windows (those with exactly `size` rows) emit
+        exp = []
+        for key in ("a", "b"):
+            key_rows = [r for r in rows if r[0] == key] * 3  # 3 stream files
+            per = count_sliding_window(
+                spark.createDataFrame(key_rows, "k string, v double"), "k", size, slide
+            )
+            agg = (
+                per.groupBy("window_id")
+                .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+                .filter(F.col("n") == size)
+                .collect()
+            )
+            exp.extend((key, r["window_id"], r["n"], r["s"]) for r in agg)
+        assert got == sorted(exp), (size, slide, got, sorted(exp))
+        assert len(got) > 0
