@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from macrobase_spark import queries as _Q  # noqa: E402
 
 # extension modules register themselves into _Q.QUERIES/_Q.ORACLES on import
+import macrobase_spark.operators.audio  # noqa: E402,F401
 import macrobase_spark.operators.dedup  # noqa: E402,F401
 import macrobase_spark.operators.similarity  # noqa: E402,F401
 import macrobase_spark.operators.text  # noqa: E402,F401

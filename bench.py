@@ -58,6 +58,8 @@ EXTRA = [
     "explain_meandev_events",
     "image_feature_stats",
     "video_frame_stats",
+    "png_feature_stats",
+    "codec_snr_stats",
     "dedup_simhash_prod",
     "ann_ivf_topk",
     "ann_lsh_candidates",
@@ -74,8 +76,11 @@ def _bench_only_queries() -> dict:
     from macrobase_spark.operators.dedup import simhash_candidates
     from macrobase_spark.operators.image import (
         image_feature_stats_pipeline,
+        png_feature_stats_pipeline,
         video_frame_stats_pipeline,
     )
+
+    from macrobase_spark.operators.audio import codec_snr_stats_pipeline as _codec_snr
 
     def dedup_simhash_prod(spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -86,6 +91,8 @@ def _bench_only_queries() -> dict:
         "dedup_simhash_prod": dedup_simhash_prod,
         "image_feature_stats": image_feature_stats_pipeline,
         "video_frame_stats": video_frame_stats_pipeline,
+        "png_feature_stats": png_feature_stats_pipeline,
+        "codec_snr_stats": _codec_snr,
     }
 
 
@@ -96,6 +103,7 @@ def main() -> int:
     sf = float(m.group(1)) if m else 0.1
 
     from macrobase_spark import queries as Q
+    import macrobase_spark.operators.audio  # noqa: F401
     import macrobase_spark.operators.clips_suite  # noqa: F401
     import macrobase_spark.operators.dedup  # noqa: F401
     import macrobase_spark.operators.detectors  # noqa: F401

@@ -96,9 +96,22 @@ def mcod_batch(
     partition_keys: independent streams (the 100 TB path — count windows
     per key; a global count order exists only within a key). None = one
     global stream (batch replay of the reference's single stream; the
-    ordering row_number is the one unpartitioned window, over row ids only).
+    ordering row_number is the one unpartitioned window, over row ids only)
+    — this path is inherently SINGLE-PARTITION (a global count order
+    requires one total sort), so it warns loudly and should only be used
+    for reference-parity replay / tests; use partition_keys at scale.
     """
     keys = list(partition_keys or [])
+    if not keys:
+        import warnings
+
+        warnings.warn(
+            "mcod_batch without partition_keys builds a GLOBAL count order: "
+            "the whole input is row-numbered in ONE task (single-partition "
+            "plan). Fine for reference-parity replay at test scale; pass "
+            "partition_keys (e.g. the stream/device key) for any real data.",
+            stacklevel=2,
+        )
     W, S, k = window_size, slide, min_neighbors
     w = Window.partitionBy(*keys).orderBy(time_col) if keys else Window.orderBy(time_col)
     base = df.select(*keys, time_col, *feature_cols).withColumn(

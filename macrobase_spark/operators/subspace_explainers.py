@@ -45,15 +45,34 @@ from macrobase_spark.operators.hics import welch_t_deviation
 
 
 def _fit_models(sample, subspaces, col_idx, n_trees, seed):
-    return [
-        (
-            list(sub),
-            fit_isolation_forest(
-                sample[:, [col_idx[c] for c in sub]], n_trees=n_trees, subsample=256, seed=seed
-            ),
+    """One isolation forest per subspace. The fits are independent and each
+    seeds its own rng, so they parallelize across executors with identical
+    results: broadcast the (small, bounded) trainer sample once, fan the
+    subspace list out as an RDD, collect the pickled forests back in input
+    order. This was the r3 bench tail — 100+ serial driver-side fits
+    dominated refout/lookout wall time."""
+    subs = [list(sub) for sub in subspaces]
+
+    def fit_one(sub, X):
+        return fit_isolation_forest(
+            X[:, [col_idx[c] for c in sub]], n_trees=n_trees, subsample=256, seed=seed
         )
-        for sub in subspaces
-    ]
+
+    if len(subs) <= 4:  # not worth a job
+        return [(sub, fit_one(sub, sample)) for sub in subs]
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return [(sub, fit_one(sub, sample)) for sub in subs]
+    sc = spark.sparkContext
+    bc = sc.broadcast(sample)
+    fitted = dict(
+        sc.parallelize(list(enumerate(subs)), min(len(subs), 64)).map(
+            lambda t: (t[0], fit_one(t[1], bc.value))
+        ).collect()
+    )
+    return [(subs[i], fitted[i]) for i in range(len(subs))]
 
 
 def _collect_pois(

@@ -478,6 +478,43 @@ def run_explanation_config(
     raise ValueError(f"bad explainer id {eid!r}")
 
 
+def _wire_time_column(df: DataFrame, conf: dict) -> tuple[DataFrame, dict]:
+    """Reference time-column wiring (alexp Pipelines.parseTimeColumn,
+    Pipelines.java:381-385 + LegacyClassifierEvaluationPipeline.java:93-104
+    + Pipeline.createAutoGeneratedColumns):
+
+    - `timeColumn: __autogenerated_time` → add a 0,1,2,… row-ordinal double
+      column (the reference's generateTimeColumn).
+    - `timeColumn` + `timeFormat` → parse the string column with the
+      Java-pattern format into UTC epoch SECONDS (double) as a NEW column
+      named `!parsed_<col>`, and point the config's timeColumn at it —
+      exactly the reference's rename. A literal ".000000" fraction is
+      stripped first (TimeUtils.dateTimeToUnixTimestamp does the same).
+
+    One declarative expression each; the session timezone is UTC
+    (session.py), so to_timestamp().cast(double) IS the UTC epoch."""
+    from pyspark.sql import Window
+
+    tcol = conf.get("timeColumn")
+    tfmt = conf.get("timeFormat")
+    if not tcol:
+        return df, conf
+    if tcol == "__autogenerated_time":
+        w = Window.orderBy(F.monotonically_increasing_id())
+        df = df.withColumn(tcol, (F.row_number().over(w) - 1).cast("double"))
+        return df, conf
+    if tfmt:
+        parsed = f"!parsed_{tcol}"
+        df = df.withColumn(
+            parsed,
+            F.to_timestamp(
+                F.regexp_replace(F.col(tcol), r"\.000000", ""), tfmt
+            ).cast("double"),
+        )
+        conf = {**conf, "timeColumn": parsed}
+    return df, conf
+
+
 def run_config(spark: SparkSession, conf: dict, base_dir: str = "") -> PipelineResult:
     """Load → classify → explain, per the reference pipeline contract.
     A `classifiers:` LIST runs as a chain (alexp Pipelines.
@@ -490,6 +527,7 @@ def run_config(spark: SparkSession, conf: dict, base_dir: str = "") -> PipelineR
     if not cube and conf.get("classifier", "").lower() == "countmeanshift":
         conf = {**conf, "summarizer": "countmeanshift"}
     df = _load(spark, conf, base_dir)
+    df, conf = _wire_time_column(df, conf)
     if conf.get("classifiers"):
         classified, out_col = classify_chain(df, list(conf["classifiers"]))
         explanation = _summarize(classified, conf, cube, outlier_col=out_col)

@@ -205,3 +205,71 @@ def expected_violations(n: int) -> pd.DataFrame:
 
 
 LONG_SCHEMA = StructType([StructField("id", LongType())])
+
+
+CODEC_WAV = ["pcm_s16le", "mulaw", "alaw", "adpcm"]
+
+
+def generate_codec_clips(
+    spark: SparkSession, n: int, max_payload_ms: int = 200, partitions: int | None = None
+) -> DataFrame:
+    """Compressed-codec clips table — same shape as `clips`, but the
+    payloads are REAL compressed audio: G.711 mu-law / A-law and IMA ADPCM
+    WAV containers (format tags 0x07/0x06/0x11, decoded by the pure-numpy
+    codecs in operators/codecs.py) cycling with plain PCM16 by id. The
+    SNR-vs-reference-render invariant runs THROUGH the codec: lossy
+    compression costs ~12-16 dB but every clean clip stays above the 30 dB
+    bar (G.711 ~38 dB, ADPCM ~35 dB on the fixture tones).
+
+    Planted violations (disjoint residues from the PPM/PNG/clips plants):
+    - corrupt payload    id % 127 == 21 (hash garbage, no RIFF)
+    - truncated payload  id % 149 == 33 (blob cut mid-chunk)
+    """
+    from macrobase_spark.operators.audio import wav_bytes_codec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            p = row_params(ids)
+            rows = []
+            for s, r in zip(ids, p.itertuples()):
+                i = int(s)
+                codec = CODEC_WAV[i % 4]
+                sr = int(r.sr_hz)
+                if i % 127 == 21:
+                    g = splitmix64(np.arange(64, dtype=np.uint64) + np.uint64(i))
+                    raw = g.astype("<u8").tobytes()
+                else:
+                    ms = min(int(r.dur_ms), max_payload_ms)
+                    nsamp = max(int(sr * ms / 1000), 16)
+                    f0 = float(tone_hz(np.array([i], dtype=np.uint64))[0])
+                    t = np.arange(nsamp, dtype=np.float64) / sr
+                    sig = 0.8 * np.sin(2 * np.pi * f0 * t)
+                    noise = (
+                        u01(np.arange(nsamp, dtype=np.uint64) + np.uint64(i) * np.uint64(2654435761), 5)
+                        - 0.5
+                    ) * 0.01
+                    pcm = np.clip((sig + noise) * 32767, -32768, 32767).astype(np.int16)
+                    if codec == "pcm_s16le":
+                        raw = wav_bytes(pcm, sr)
+                    else:
+                        raw = wav_bytes_codec(pcm, sr, codec)
+                    if i % 149 == 33:
+                        raw = raw[: max(len(raw) // 3, 10)]
+                rows.append(
+                    (
+                        f"clip_{i:012d}",
+                        raw,
+                        sr,
+                        int(r.dur_ms),
+                        codec,
+                        _transcript(i, int(r.n_words)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+            )
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, CLIPS_SCHEMA)

@@ -28,3 +28,98 @@ def test_dominant_freq_matches_tone(spark):
         assert r["clipping_ratio"] == 0.0
         checked += 1
     assert checked > 300
+
+
+# -- compressed codecs (G.711 mu-law/A-law, IMA ADPCM) ----------------------
+
+
+def test_g711_and_adpcm_wav_roundtrip():
+    """Real compressed WAVs (format tags 7/6/0x11) decode through
+    decode_wav with SNR >= 30 dB vs the clean signal; corruption classes
+    all land as None."""
+    import numpy as np
+
+    from macrobase_spark.operators.audio import (
+        decode_wav,
+        render_reference,
+        wav_bytes,
+        wav_bytes_codec,
+    )
+
+    sr = 16000
+    sig = render_reference(7, sr, sr * 2)
+    pcm = (sig * 32767).astype(np.int16)
+
+    def snr(dec):
+        n = min(len(sig), len(dec))
+        err = dec[:n] - sig[:n]
+        return 10 * np.log10((sig[:n] ** 2).sum() / max((err**2).sum(), 1e-30))
+
+    for codec, min_db in [("mulaw", 35.0), ("alaw", 35.0), ("adpcm", 30.0)]:
+        raw = wav_bytes_codec(pcm, sr, codec)
+        out = decode_wav(raw)
+        assert out is not None, codec
+        got_sr, dec = out
+        assert got_sr == sr and len(dec) == len(pcm), codec
+        assert snr(dec) >= min_db, (codec, snr(dec))
+        assert len(raw) < len(wav_bytes(pcm, sr)) * 0.55, codec  # actually compressed
+        assert decode_wav(raw[: len(raw) // 2]) is None, codec  # truncated
+    # PCM16 still decodes bit-exactly through the chunk walker
+    s0, d0 = decode_wav(wav_bytes(pcm, sr))
+    assert s0 == sr and np.array_equal((d0 * 32768).astype(np.int16), pcm)
+    assert decode_wav(b"garbage" * 20) is None
+
+
+def test_adpcm_block_vectorization_matches_scalar():
+    """The block-vectorized IMA decode equals a straightforward per-sample
+    scalar decode (the spec algorithm) on random nibbles."""
+    import numpy as np
+
+    from macrobase_spark.operators.codecs import (
+        IMA_INDEX_TABLE,
+        IMA_STEP_TABLE,
+        ima_adpcm_decode_blocks,
+    )
+
+    rng = np.random.default_rng(5)
+    nib = rng.integers(0, 16, (8, 64), dtype=np.uint8)
+    preds = rng.integers(-3000, 3000, 8).astype(np.int16)
+    idxs = rng.integers(0, 60, 8).astype(np.int32)
+    got = ima_adpcm_decode_blocks(nib, preds, idxs)
+    for b in range(8):
+        pred, index = int(preds[b]), int(idxs[b])
+        assert got[b, 0] == pred
+        for s in range(64):
+            code = int(nib[b, s])
+            step = int(IMA_STEP_TABLE[index])
+            diff = step >> 3
+            if code & 1:
+                diff += step >> 2
+            if code & 2:
+                diff += step >> 1
+            if code & 4:
+                diff += step
+            pred = pred - diff if code & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(IMA_INDEX_TABLE[code & 7])))
+            assert got[b, s + 1] == pred, (b, s)
+
+
+def test_codec_clips_planted(spark):
+    """The codec fixture flows through snr_check with the REAL compressed
+    decode: planted garbage/truncation recovered exactly; every clean clip
+    of every codec clears the lossy-codec 25 dB bar (worst-case 4:1
+    ADPCM at 8 kHz bottoms out ~29 dB; G.711 sits 35-40)."""
+    from macrobase_spark.operators.audio import snr_check
+    from macrobase_spark.sources.clips import generate_codec_clips
+
+    n = 400
+    clips = generate_codec_clips(spark, n)
+    rows = {r["clip_id"]: r for r in snr_check(clips, min_snr_db=25.0).collect()}
+    assert len(rows) == n
+    for i in range(n):
+        r = rows[f"clip_{i:012d}"]
+        corrupt = i % 127 == 21 or i % 149 == 33
+        assert r["decode_ok"] == (not corrupt), i
+        if not corrupt:
+            assert r["snr_pass"] and r["snr_db"] >= 25.0, (i, r["snr_db"])

@@ -203,3 +203,41 @@ def test_explanation_config(spark, tmp_path):
         )
         assert res.count() > 0
         assert "__REL_SUBSPACES" in res.columns
+
+
+def test_time_column_parsing(spark, tmp_path):
+    """Reference Pipelines.parseTimeColumn semantics (Pipelines.java:381-385
+    + LegacyClassifierEvaluationPipeline.java:102-104): timeColumn+timeFormat
+    adds `!parsed_<col>` = UTC epoch seconds (".000000" fraction stripped
+    first); timeColumn=__autogenerated_time adds 0,1,2,... ordinals."""
+    import csv as _csv
+
+    from macrobase_spark.pipelines import _wire_time_column
+
+    p = tmp_path / "timed.csv"
+    with open(p, "w", newline="") as f:
+        wtr = _csv.writer(f)
+        wtr.writerow(["ts", "usage", "loc"])
+        wtr.writerow(["2024-01-01 00:00:00.000000", "1.0", "a"])
+        wtr.writerow(["2024-01-01 00:00:05", "100.0", "b"])
+    conf = {
+        "inputURI": f"csv://{p}",
+        "timeColumn": "ts",
+        "timeFormat": "yyyy-MM-dd HH:mm:ss",
+        "classifier": "percentile",
+        "metric": "usage",
+        "cutoff": 1.0,
+        "attributes": ["loc"],
+        "summarizer": "apriori",
+        "minSupport": 0.1,
+        "minRatioMetric": 1.0,
+    }
+    res = run_config(spark, conf)
+    pdf = res.classified.toPandas().sort_values("!parsed_ts")
+    assert list(pdf["!parsed_ts"]) == [1704067200.0, 1704067205.0]  # UTC epochs
+
+    df = spark.createDataFrame([(x,) for x in "abc"], "v string")
+    out, conf2 = _wire_time_column(df, {"timeColumn": "__autogenerated_time"})
+    vals = sorted(r["__autogenerated_time"] for r in out.collect())
+    assert vals == [0.0, 1.0, 2.0]
+    assert conf2["timeColumn"] == "__autogenerated_time"
