@@ -57,8 +57,10 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     from macrobase_spark.operators.hics import hics_model_parquet
     from macrobase_spark.operators.hst import hst_model_parquet
+    from macrobase_spark.operators.audio import codec_snr_parquet
     from macrobase_spark.operators.image import (
         image_features_parquet,
+        png_features_parquet,
         video_frame_features_parquet,
     )
     from macrobase_spark.operators.rrcf import rrcf_model_parquet
@@ -75,7 +77,9 @@ def entry(spark: SparkSession) -> DataFrame:
         scored_parquet,
         manifest_parquet,
         audio_features_parquet,
+        codec_snr_parquet,
         image_features_parquet,
+        png_features_parquet,
         video_frame_features_parquet,
         ivf_artifacts_parquet,
         lsh_sketch_parquet,

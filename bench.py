@@ -60,6 +60,7 @@ EXTRA = [
     "video_frame_stats",
     "png_feature_stats",
     "codec_snr_stats",
+    "ann_ivf_indexed",
     "dedup_simhash_prod",
     "ann_ivf_topk",
     "ann_lsh_candidates",
@@ -81,6 +82,21 @@ def _bench_only_queries() -> dict:
     )
 
     from macrobase_spark.operators.audio import codec_snr_stats_pipeline as _codec_snr
+
+    def ann_ivf_indexed(spark, sf_dir):
+        """ann_ivf_topk through the centroid-PARTITIONED on-disk index:
+        probe filter = partition pruning, unprobed lists never read (index
+        build amortized across runs via /tmp cache)."""
+        from pyspark.sql import functions as F
+
+        from macrobase_spark.operators.similarity import ivf_index_dir, ivf_topk
+
+        path, C = ivf_index_dir(spark, sf_dir)
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(
+            e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+            k=5, n_centroids=32, n_probe=8, centroids=C, index_path=path,
+        )
 
     def dedup_simhash_prod(spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")

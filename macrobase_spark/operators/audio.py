@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -722,3 +723,66 @@ def codec_snr_stats(spark, sf_dir: str):
         F.sum(F.col("snr_pass").cast("long")).alias("n_snr_pass"),
         F.round(F.avg(F.when(F.col("snr_pass"), F.col("snr_db"))), 2).alias("avg_snr_db"),
     )
+
+
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("bytes", BinaryType()),
+    ]
+)
+
+
+def resample_clips(
+    df: DataFrame,
+    target_sr: int,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Resample every clip to `target_sr` via linear interpolation — the
+    standard sample-rate normalization step a training pipeline runs before
+    feature extraction or model ingest (audio mirror of image
+    resize_images). Binary WAV in, binary PCM16 WAV at target_sr out;
+    undecodable clips pass through as NULL bytes with decode_ok=false.
+    One mapInPandas pass; np.interp per clip (vectorized over samples).
+    Compressed inputs (G.711/ADPCM WAV) decode transparently and re-emit
+    as PCM16."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks, srs, ns, outs = [], [], [], [], []
+            for i, raw in enumerate(pdf[bytes_col]):
+                ids.append(pdf[id_col].iloc[i])
+                dec = decode_wav(raw)
+                if dec is None:
+                    oks.append(False)
+                    srs.append(0)
+                    ns.append(0)
+                    outs.append(None)
+                    continue
+                sr, pcm = dec
+                if sr == target_sr:
+                    res = pcm
+                else:
+                    n_out = max(int(round(len(pcm) * target_sr / sr)), 1)
+                    t_out = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+                    res = np.interp(t_out, np.arange(len(pcm), dtype=np.float64), pcm)
+                out_pcm = np.clip(res * 32767.0, -32768, 32767).astype(np.int16)
+                oks.append(True)
+                srs.append(target_sr)
+                ns.append(len(out_pcm))
+                outs.append(wav_bytes(out_pcm, target_sr))
+            yield pd.DataFrame(
+                {
+                    "clip_id": ids,
+                    "decode_ok": oks,
+                    "sr_hz": np.array(srs, dtype=np.int32),
+                    "n_samples": np.array(ns, dtype=np.int32),
+                    "bytes": outs,
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, RESAMPLED_SCHEMA)

@@ -683,3 +683,20 @@ def ann_lsh_candidates_q(spark, sf_dir):
     return lsh_cosine_candidates(
         e, "vec_id", "embedding", dim=dim, n_planes=10, n_tables=2
     )
+
+
+def ivf_index_dir(spark, sf_dir: str) -> tuple[str, np.ndarray]:
+    """Build (once) the centroid-PARTITIONED on-disk IVF index for the
+    embeddings table — the amortized 100 TB shape: probe-time
+    `centroid IN (...)` becomes partition pruning, so unprobed inverted
+    lists are never read. Reuses ivf_artifacts_parquet's fitted quantizer
+    so the indexed path scores the exact same lists the oracle certifies."""
+    import os
+
+    _, _, C = ivf_artifacts_parquet(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_ivf_index_v1_{n}"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        ivf_build_index(e, "vec_id", "embedding", C, path)
+    return path, C

@@ -123,3 +123,41 @@ def test_codec_clips_planted(spark):
         assert r["decode_ok"] == (not corrupt), i
         if not corrupt:
             assert r["snr_pass"] and r["snr_db"] >= 25.0, (i, r["snr_db"])
+
+
+def test_resample_clips(spark):
+    """Linear-interp resample: length scales by sr ratio, a pure tone
+    survives with high SNR vs the reference render at the NEW rate, and
+    compressed (mu-law) inputs re-emit as PCM16; corrupt rows pass through
+    flagged."""
+    import numpy as np
+
+    from macrobase_spark.operators.audio import (
+        decode_wav,
+        render_reference,
+        resample_clips,
+        wav_bytes,
+        wav_bytes_codec,
+    )
+
+    sr_in, sr_out = 44100, 16000
+    sig = render_reference(3, sr_in, sr_in // 2)  # 0.5 s
+    pcm = (sig * 32767).astype(np.int16)
+    rows = [
+        ("clip_000000000003", bytearray(wav_bytes(pcm, sr_in))),
+        ("mu", bytearray(wav_bytes_codec(pcm, sr_in, "mulaw"))),
+        ("bad", bytearray(b"garbage bytes not riff")),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {r["clip_id"]: r for r in resample_clips(df, sr_out).collect()}
+    assert not got["bad"]["decode_ok"] and got["bad"]["bytes"] is None
+    for key, min_db in [("clip_000000000003", 40.0), ("mu", 30.0)]:
+        r = got[key]
+        assert r["decode_ok"] and r["sr_hz"] == sr_out
+        assert abs(r["n_samples"] - sr_in // 2 * sr_out / sr_in) <= 1
+        sr2, dec = decode_wav(bytes(r["bytes"]))
+        assert sr2 == sr_out
+        ref = render_reference(3, sr_out, len(dec))
+        err = dec - ref
+        snr = 10 * np.log10((ref**2).sum() / (err**2).sum())
+        assert snr >= min_db, (key, snr)
