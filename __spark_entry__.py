@@ -23,6 +23,7 @@ from macrobase_spark import queries as _Q  # noqa: E402
 
 # extension modules register themselves into _Q.QUERIES/_Q.ORACLES on import
 import macrobase_spark.operators.audio  # noqa: E402,F401
+import macrobase_spark.operators.audio_fp  # noqa: E402,F401
 import macrobase_spark.operators.dedup  # noqa: E402,F401
 import macrobase_spark.operators.similarity  # noqa: E402,F401
 import macrobase_spark.operators.text  # noqa: E402,F401
@@ -57,7 +58,11 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     from macrobase_spark.operators.hics import hics_model_parquet
     from macrobase_spark.operators.hst import hst_model_parquet
-    from macrobase_spark.operators.audio import codec_snr_parquet
+    from macrobase_spark.operators.audio import (
+        codec_snr_parquet,
+        resample_check_parquet,
+    )
+    from macrobase_spark.operators.audio_fp import audio_fp_parquet
     from macrobase_spark.operators.image import (
         image_features_parquet,
         png_features_parquet,
@@ -78,6 +83,8 @@ def entry(spark: SparkSession) -> DataFrame:
         manifest_parquet,
         audio_features_parquet,
         codec_snr_parquet,
+        resample_check_parquet,
+        audio_fp_parquet,
         image_features_parquet,
         png_features_parquet,
         video_frame_features_parquet,

@@ -61,6 +61,8 @@ EXTRA = [
     "png_feature_stats",
     "codec_snr_stats",
     "ann_ivf_indexed",
+    "dedup_audio_content",
+    "clips_resample_stats",
     "dedup_simhash_prod",
     "ann_ivf_topk",
     "ann_lsh_candidates",
@@ -103,8 +105,38 @@ def _bench_only_queries() -> dict:
         # production defaults: xxhash64 token hash + max_bucket guard
         return simhash_candidates(d, "doc_id", "text")
 
+    def dedup_audio_content(spark, sf_dir):
+        """Full kernel: synthesize fp fixture → decode+fingerprint →
+        multi-probe LSH join → Hamming pairs, in one timed plan (the
+        registered twin reads the materialized fingerprints)."""
+        from macrobase_spark.operators.audio_fp import (
+            _fp_clips_n,
+            audio_fingerprints,
+            audio_near_dup_pairs,
+            generate_fp_clips,
+        )
+
+        fp = audio_fingerprints(generate_fp_clips(spark, _fp_clips_n(sf_dir)))
+        return audio_near_dup_pairs(fp, hamming_max=10)
+
+    def clips_resample_stats(spark, sf_dir):
+        """Full kernel: decode → 16 kHz linear-interp resample → SNR vs the
+        reference render at the new rate → per-rate stats."""
+        from pyspark.sql import functions as F
+
+        from macrobase_spark.operators.audio import resample_check
+        from macrobase_spark.operators.clips_suite import clips_table
+
+        scored = resample_check(clips_table(spark, sf_dir))
+        return scored.groupBy("sr_hz").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("snr_pass").cast("long")).alias("n_snr_pass"),
+        )
+
     return {
         "dedup_simhash_prod": dedup_simhash_prod,
+        "dedup_audio_content": dedup_audio_content,
+        "clips_resample_stats": clips_resample_stats,
         "image_feature_stats": image_feature_stats_pipeline,
         "video_frame_stats": video_frame_stats_pipeline,
         "png_feature_stats": png_feature_stats_pipeline,

@@ -786,3 +786,112 @@ def resample_clips(
             )
 
     return df.select(id_col, bytes_col).mapInPandas(run, RESAMPLED_SCHEMA)
+
+
+# -- resample integrity check -------------------------------------------------
+
+RESAMPLE_CHECK_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("sr_hz", IntegerType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("n_out", IntegerType()),
+        StructField("snr_db", DoubleType()),
+        StructField("snr_pass", BooleanType()),
+    ]
+)
+
+
+def resample_check(df: DataFrame, target_sr: int = 16000, min_snr_db: float = 20.0) -> DataFrame:
+    """Validate the resample stage end-to-end: decode → linear-interp to
+    `target_sr` → SNR against the deterministic reference render AT THE NEW
+    RATE. This is the check a pipeline runs after sample-rate normalization
+    to prove the resampler didn't mangle content (phase drift, off-by-one
+    length math, aliasing of in-band energy). One mapInPandas scan; emits
+    the claimed sr_hz so stats group by original rate. SNR is clamped to
+    ±999 dB (parquet/oracle-portable — no ±inf). The 20 dB bar reflects
+    honest linear-interp error: a 500 Hz tone sampled at 8 kHz interpolates
+    at ~-36 dB; anti-aliased polyphase resampling would raise it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ids = pdf["clip_id"].tolist()
+            srs = pdf["sr_hz"].to_numpy()
+            oks = np.zeros(n, dtype=bool)
+            nouts = np.zeros(n, dtype=np.int32)
+            snrs = np.full(n, -999.0)
+            for i, raw in enumerate(pdf["bytes"]):
+                dec = decode_wav(raw if isinstance(raw, bytes) else bytes(raw or b""))
+                if dec is None:
+                    continue
+                sr, pcm = dec
+                oks[i] = True
+                if sr == target_sr:
+                    res = pcm
+                else:
+                    n_out = max(int(round(len(pcm) * target_sr / sr)), 1)
+                    t_out = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+                    res = np.interp(t_out, np.arange(len(pcm), dtype=np.float64), pcm)
+                nouts[i] = len(res)
+                idx = int(ids[i][5:])
+                ref = render_reference(idx, target_sr, len(res))
+                snrs[i] = float(np.clip(snr_db(ref, res), -999.0, 999.0))
+            yield pd.DataFrame(
+                {
+                    "clip_id": ids,
+                    "sr_hz": srs.astype(np.int32),
+                    "decode_ok": oks,
+                    "n_out": nouts,
+                    "snr_db": np.round(snrs, 6),
+                    "snr_pass": oks & (snrs >= min_snr_db),
+                }
+            )
+
+    return df.select("clip_id", "sr_hz", "bytes").mapInPandas(run, RESAMPLE_CHECK_SCHEMA)
+
+
+def resample_check_parquet(spark, sf_dir: str) -> str:
+    """Materialize the resample-integrity relation (ONE decode+interp scan
+    of the clips table) for the DuckDB oracle."""
+    import os
+
+    from macrobase_spark.operators.clips_suite import clips_n, clips_table
+
+    n = clips_n(sf_dir)
+    path = f"/tmp/mb_resample_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        resample_check(clips_table(spark, sf_dir)).write.mode("overwrite").parquet(path)
+    return path
+
+
+_RESF = "read_parquet('/tmp/mb_resample_v1_10000.parquet/*.parquet')"
+
+
+@register(
+    "clips_resample_stats",
+    f"""
+    SELECT sr_hz,
+           count(*) AS n,
+           CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           CAST(sum(CASE WHEN snr_pass THEN 1 ELSE 0 END) AS BIGINT)  AS n_snr_pass,
+           round(avg(CASE WHEN snr_pass THEN snr_db END), 2) AS avg_snr_db,
+           CAST(sum(n_out) AS BIGINT) AS total_samples_16k
+    FROM {_RESF}
+    GROUP BY sr_hz
+    """,
+)
+def clips_resample_stats(spark, sf_dir: str):
+    """Per-original-rate profile of the 16 kHz resample stage: decode rate
+    (planted corrupt/truncated payloads fail), post-resample SNR vs the
+    reference render at 16 kHz, and total normalized sample count — the
+    validation a training pipeline runs after sample-rate normalization.
+    Aggregates the materialized relation the oracle also reads."""
+    scored = spark.read.parquet(resample_check_parquet(spark, sf_dir))
+    return scored.groupBy("sr_hz").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.sum(F.col("snr_pass").cast("long")).alias("n_snr_pass"),
+        F.round(F.avg(F.when(F.col("snr_pass"), F.col("snr_db"))), 2).alias("avg_snr_db"),
+        F.sum(F.col("n_out").cast("long")).alias("total_samples_16k"),
+    )

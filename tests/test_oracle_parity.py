@@ -6,6 +6,7 @@ import os
 import pytest
 
 from macrobase_spark import queries as Q
+import macrobase_spark.operators.audio_fp  # noqa: F401  (registers queries)
 import macrobase_spark.operators.clips_suite  # noqa: F401  (registers queries)
 import macrobase_spark.operators.dedup  # noqa: F401
 import macrobase_spark.operators.detectors  # noqa: F401
