@@ -35,6 +35,7 @@ import macrobase_spark.operators.image  # noqa: E402,F401
 import macrobase_spark.operators.mcod  # noqa: E402,F401
 import macrobase_spark.operators.rrcf  # noqa: E402,F401
 import macrobase_spark.operators.subspace_explainers  # noqa: E402,F401
+import macrobase_spark.operators.transcript  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -77,6 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
         lookout_artifacts_parquet,
         refout_artifacts_parquet,
     )
+    from macrobase_spark.operators.transcript import transcript_pairs_parquet
 
     for mat in (
         scored_parquet,
@@ -98,6 +100,7 @@ def entry(spark: SparkSession) -> DataFrame:
         rrcf_model_parquet,
         lookout_artifacts_parquet,
         refout_artifacts_parquet,
+        transcript_pairs_parquet,
     ):
         try:
             mat(spark, sf01)

@@ -68,6 +68,8 @@ EXTRA = [
     "ann_lsh_candidates",
     "lookout_explain_embeddings",
     "refout_explain_embeddings",
+    "transcript_integrity_check",
+    "transcript_drift_stats",
 ]
 
 

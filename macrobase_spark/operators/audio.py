@@ -156,6 +156,21 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray] | None:
         return None
 
 
+def decode_audio(b: bytes) -> tuple[int, np.ndarray] | None:
+    """Container-sniffing decode entry: RIFF/WAVE (PCM16 + the G.711/ADPCM
+    compressed tags) via decode_wav, native FLAC streams (magic "fLaC") via
+    the pure-numpy FLAC decoder (operators/flac.py — CRC + MD5 verified,
+    FIXED and LPC predictors, partitioned Rice). None on any corruption."""
+    if b is None or len(b) < 4:
+        return None
+    head = bytes(b[:4])
+    if head == b"fLaC":
+        from macrobase_spark.operators.flac import decode_flac
+
+        return decode_flac(bytes(b))
+    return decode_wav(b)
+
+
 def wav_bytes_codec(pcm: np.ndarray, sr: int, codec: str, block_align: int = 256) -> bytes:
     """Encode int16 mono PCM into a REAL compressed WAV: G.711 mu-law
     (format tag 7), A-law (6), or IMA ADPCM (0x11, standard mono block
@@ -189,6 +204,10 @@ def wav_bytes_codec(pcm: np.ndarray, sr: int, codec: str, block_align: int = 256
         fmt = struct.pack(
             "<HHIIHHHH", 0x11, 1, sr, sr * block_align // spb, block_align, 4, 2, spb
         )
+    elif codec == "flac":
+        from macrobase_spark.operators.flac import flac_bytes
+
+        return flac_bytes(pcm, sr)
     else:
         raise ValueError(f"unsupported wav codec {codec!r}")
 
@@ -204,15 +223,22 @@ def wav_bytes_codec(pcm: np.ndarray, sr: int, codec: str, block_align: int = 256
 def decode_compressed(codec: str, b: bytes):
     """Compressed-codec decode dispatch. G.711 mu-law/A-law and IMA ADPCM
     are REAL (pure numpy, operators/codecs.py — arriving either as raw
-    payloads here or as tagged WAV via decode_wav); mp3/flac/opus/aac need
-    MDCT / rice-LPC decoder libraries the runtime lacks, so they stay
-    honestly stubbed."""
+    payloads here or as tagged WAV via decode_wav); FLAC decodes for
+    real too (operators/flac.py, pure numpy); mp3/opus/aac need MDCT
+    decoder libraries the runtime lacks, so they stay honestly stubbed."""
     from macrobase_spark.operators import codecs
 
     if codec == "mulaw":
         return codecs.decode_mulaw(b)
     if codec == "alaw":
         return codecs.decode_alaw(b)
+    if codec == "flac":
+        from macrobase_spark.operators.flac import decode_flac
+
+        dec = decode_flac(b)
+        if dec is None:
+            raise ValueError("corrupt FLAC stream")
+        return dec[1]
     raise NotImplementedError(f"decode for codec {codec!r} requires external libraries")
 
 
@@ -606,7 +632,7 @@ def snr_check(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
             out_snr = np.full(len(pdf), -np.inf)
             out_srm = np.zeros(len(pdf), dtype=bool)
             for i, b in enumerate(pdf["bytes"]):
-                dec = decode_wav(b)
+                dec = decode_audio(b)
                 if dec is None:
                     continue
                 sr, pcm = dec
@@ -663,7 +689,7 @@ def codec_snr_parquet(spark, sf_dir: str) -> str:
     from macrobase_spark.sources.clips import generate_codec_clips
 
     n = _codec_clips_n(sf_dir)
-    path = f"/tmp/mb_codecsnr_v1_{n}.parquet"
+    path = f"/tmp/mb_codecsnr_v2_{n}.parquet"
     if not os.path.isfile(f"{path}/_SUCCESS"):
         clips = generate_codec_clips(spark, n)
         (
@@ -692,7 +718,7 @@ def codec_snr_stats_pipeline(spark, sf_dir: str):
     )
 
 
-_CODECF = "read_parquet('/tmp/mb_codecsnr_v1_400.parquet/*.parquet')"
+_CODECF = "read_parquet('/tmp/mb_codecsnr_v2_400.parquet/*.parquet')"
 
 
 @register(
@@ -756,7 +782,7 @@ def resample_clips(
             ids, oks, srs, ns, outs = [], [], [], [], []
             for i, raw in enumerate(pdf[bytes_col]):
                 ids.append(pdf[id_col].iloc[i])
-                dec = decode_wav(raw)
+                dec = decode_audio(raw)
                 if dec is None:
                     oks.append(False)
                     srs.append(0)
@@ -822,7 +848,7 @@ def resample_check(df: DataFrame, target_sr: int = 16000, min_snr_db: float = 20
             nouts = np.zeros(n, dtype=np.int32)
             snrs = np.full(n, -999.0)
             for i, raw in enumerate(pdf["bytes"]):
-                dec = decode_wav(raw if isinstance(raw, bytes) else bytes(raw or b""))
+                dec = decode_audio(raw if isinstance(raw, bytes) else bytes(raw or b""))
                 if dec is None:
                     continue
                 sr, pcm = dec

@@ -53,7 +53,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from macrobase_spark.operators.audio import decode_wav, splitmix64, u01
+from macrobase_spark.operators.audio import decode_audio, splitmix64, u01
 from macrobase_spark.queries import register
 
 # 16 overlapping triangular bands, log-spaced 150 Hz .. 3800 Hz (absolute Hz
@@ -126,7 +126,7 @@ def audio_fingerprints(
             his = np.zeros(n, dtype=np.int64)
             los = np.zeros(n, dtype=np.int64)
             for i, raw in enumerate(pdf[bytes_col]):
-                dec = decode_wav(raw if isinstance(raw, bytes) else bytes(raw or b""))
+                dec = decode_audio(raw if isinstance(raw, bytes) else bytes(raw or b""))
                 if dec is None:
                     continue
                 sr, pcm = dec

@@ -207,7 +207,7 @@ def expected_violations(n: int) -> pd.DataFrame:
 LONG_SCHEMA = StructType([StructField("id", LongType())])
 
 
-CODEC_WAV = ["pcm_s16le", "mulaw", "alaw", "adpcm"]
+CODEC_WAV = ["pcm_s16le", "mulaw", "alaw", "adpcm", "flac"]
 
 
 def generate_codec_clips(
@@ -215,11 +215,13 @@ def generate_codec_clips(
 ) -> DataFrame:
     """Compressed-codec clips table — same shape as `clips`, but the
     payloads are REAL compressed audio: G.711 mu-law / A-law and IMA ADPCM
-    WAV containers (format tags 0x07/0x06/0x11, decoded by the pure-numpy
-    codecs in operators/codecs.py) cycling with plain PCM16 by id. The
-    SNR-vs-reference-render invariant runs THROUGH the codec: lossy
-    compression costs ~12-16 dB but every clean clip stays above the 30 dB
-    bar (G.711 ~38 dB, ADPCM ~35 dB on the fixture tones).
+    WAV containers (format tags 0x07/0x06/0x11) plus native FLAC streams
+    (operators/flac.py — Rice-coded fixed/LPC predictors, CRC + MD5
+    verified), cycling with plain PCM16 by id; all decoded by the
+    pure-numpy codecs. The SNR-vs-reference-render invariant runs THROUGH
+    the codec: lossy compression costs ~12-16 dB but every clean clip stays
+    above the 30 dB bar (G.711 ~38 dB, ADPCM ~35 dB on the fixture tones);
+    FLAC is lossless, so its clips score like PCM16.
 
     Planted violations (disjoint residues from the PPM/PNG/clips plants):
     - corrupt payload    id % 127 == 21 (hash garbage, no RIFF)
@@ -234,7 +236,7 @@ def generate_codec_clips(
             rows = []
             for s, r in zip(ids, p.itertuples()):
                 i = int(s)
-                codec = CODEC_WAV[i % 4]
+                codec = CODEC_WAV[i % 5]
                 sr = int(r.sr_hz)
                 if i % 127 == 21:
                     g = splitmix64(np.arange(64, dtype=np.uint64) + np.uint64(i))
