@@ -70,6 +70,7 @@ EXTRA = [
     "refout_explain_embeddings",
     "transcript_integrity_check",
     "transcript_drift_stats",
+    "psi_drift_clips",
 ]
 
 

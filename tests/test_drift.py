@@ -1,0 +1,72 @@
+"""PSI histogram drift: planted-shift recovery, null-sensitivity of clean
+groups, explicit-edge override, and scale-shape assertions."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.operators.drift import psi_drift, quantile_edges
+
+
+@pytest.fixture(scope="module")
+def shifted(spark):
+    """g=a,b ~ N(100,10); g=c shifted to N(160,10). c is a small minority
+    (like the planted aac drift) so the pooled global ≈ the clean
+    distribution — PSI vs global is only meaningful for minority shifts."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for g, mu, n in [("a", 100.0, 2000), ("b", 100.0, 2000), ("c", 160.0, 300)]:
+        for v in rng.normal(mu, 10.0, n):
+            rows.append((g, float(v)))
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_planted_shift_recovered(shifted):
+    got = {r["g"]: (r["psi"], r["drifted"]) for r in psi_drift(shifted, "v", ["g"]).collect()}
+    assert got["c"][1] is True and got["c"][0] > 1.0
+    assert got["a"][1] is False and got["a"][0] < 0.1
+    assert got["b"][1] is False and got["b"][0] < 0.1
+
+
+def test_identical_distribution_scores_zeroish(spark):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(0, 1, 3000)
+    df = spark.createDataFrame(
+        [(["x", "y"][i % 2], float(v)) for i, v in enumerate(vals)], "g string, v double"
+    )
+    for r in psi_drift(df, "v", ["g"]).collect():
+        assert r["psi"] < 0.05 and not r["drifted"], r
+
+
+def test_explicit_edges_and_counts(spark):
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)] + [("b", float(i + 80)) for i in range(100)],
+        "g string, v double",
+    )
+    res = {r["g"]: r for r in psi_drift(df, "v", ["g"], edges=[50.0, 100.0, 150.0]).collect()}
+    assert res["a"]["n"] == 100 and res["b"]["n"] == 100
+    # a occupies bins {0,1}, b bins {1,2,3} -> both diverge from the pooled dist
+    assert res["a"]["psi"] > 0.2 and res["b"]["psi"] > 0.2
+
+
+def test_edges_match_duckdb_quantiles(spark):
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    vals = [float(v) for v in rng.normal(50, 5, 777)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = quantile_edges(df, "v", 10)
+    want = duckdb.sql(
+        "SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) FROM "
+        "(SELECT unnest($1::DOUBLE[]) v)", params=[vals]
+    ).fetchone()[0]
+    assert np.allclose(got, list(want), rtol=0, atol=1e-9)
+
+
+def test_aggregate_is_group_grain(shifted):
+    """Output is one row per group — the relation a monitor stores, not a
+    per-row blowup; and binning adds no Python (pure column expressions)."""
+    out = psi_drift(shifted, "v", ["g"])
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
