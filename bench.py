@@ -71,6 +71,7 @@ EXTRA = [
     "transcript_integrity_check",
     "transcript_drift_stats",
     "psi_drift_clips",
+    "flac_snr_suite",
 ]
 
 
@@ -122,6 +123,14 @@ def _bench_only_queries() -> dict:
         fp = audio_fingerprints(generate_fp_clips(spark, _fp_clips_n(sf_dir)))
         return audio_near_dup_pairs(fp, hamming_max=10)
 
+    def flac_snr_suite(spark, sf_dir):
+        """North-rule kernel with COMPRESSED payloads: scan an all-FLAC
+        clips table (materialized once, untimed) → pure-numpy FLAC decode
+        (CRC+MD5 verified) → SNR-vs-reference check → per-rate rollup."""
+        from macrobase_spark.operators.audio import flac_snr_suite as _f
+
+        return _f(spark, sf_dir)
+
     def clips_resample_stats(spark, sf_dir):
         """Full kernel: decode → 16 kHz linear-interp resample → SNR vs the
         reference render at the new rate → per-rate stats."""
@@ -140,6 +149,7 @@ def _bench_only_queries() -> dict:
         "dedup_simhash_prod": dedup_simhash_prod,
         "dedup_audio_content": dedup_audio_content,
         "clips_resample_stats": clips_resample_stats,
+        "flac_snr_suite": flac_snr_suite,
         "image_feature_stats": image_feature_stats_pipeline,
         "video_frame_stats": video_frame_stats_pipeline,
         "png_feature_stats": png_feature_stats_pipeline,
@@ -166,6 +176,8 @@ def main() -> int:
     import macrobase_spark.operators.subspace_explainers  # noqa: F401
     import macrobase_spark.operators.similarity  # noqa: F401
     import macrobase_spark.operators.text  # noqa: F401
+    import macrobase_spark.operators.transcript  # noqa: F401
+    import macrobase_spark.operators.drift  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
@@ -203,6 +215,12 @@ def main() -> int:
 
             extra["clips_per_sec"] = round(clips_n(sf_dir) / best, 1)
             extra["clips_n"] = clips_n(sf_dir)
+        if name == "flac_snr_suite":
+            from macrobase_spark.operators.clips_suite import clips_n
+
+            n_flac = max(400, clips_n(sf_dir) // 8)
+            extra["flac_clips_per_sec"] = round(n_flac / best, 1)
+            extra["flac_clips_n"] = n_flac
         print(f"# {name}: {best:.2f}s rows={n} (best of {reps})", file=sys.stderr)
 
     total = round(sum(v for k, v in timings.items() if k in HEADLINE), 3)

@@ -680,6 +680,38 @@ def _codec_clips_n(sf_dir: str) -> int:
     return max(int(sf * 40_000), 400)
 
 
+def flac_clips_parquet(spark, sf_dir: str) -> str:
+    """Materialize (once, untimed) an all-FLAC clips table — every payload a
+    native FLAC stream from the pure-numpy encoder — so the bench can time
+    the north-rule kernel (one-scan decode + SNR constraint check) with the
+    bytes arriving COMPRESSED, the way a 10^12-clip corpus actually ships."""
+    import os
+
+    from macrobase_spark.operators.clips_suite import clips_n
+    from macrobase_spark.sources.clips import generate_codec_clips
+
+    n = max(400, clips_n(sf_dir) // 8)
+    path = f"/tmp/mb_flacclips_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        generate_codec_clips(spark, n, codecs=["flac"]).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def flac_snr_suite(spark, sf_dir: str):
+    """Timed FLAC validation kernel: parquet scan → FLAC decode (CRC+MD5
+    verified) → SNR-vs-reference-render check → per-sample-rate rollup."""
+    clips = spark.read.parquet(flac_clips_parquet(spark, sf_dir))
+    scored = snr_check(clips).join(clips.select("clip_id", "sr_hz"), "clip_id")
+    return scored.groupBy("sr_hz").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.sum(F.col("snr_pass").cast("long")).alias("n_snr_pass"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("snr_db"))), 2).alias("avg_snr_db"),
+    )
+
+
 def codec_snr_parquet(spark, sf_dir: str) -> str:
     """Materialize the per-clip SNR relation of the compressed-codec fixture
     (ONE decode pass through the real G.711/ADPCM codecs) to parquet for

@@ -211,7 +211,11 @@ CODEC_WAV = ["pcm_s16le", "mulaw", "alaw", "adpcm", "flac"]
 
 
 def generate_codec_clips(
-    spark: SparkSession, n: int, max_payload_ms: int = 200, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    max_payload_ms: int = 200,
+    partitions: int | None = None,
+    codecs: list[str] | None = None,
 ) -> DataFrame:
     """Compressed-codec clips table — same shape as `clips`, but the
     payloads are REAL compressed audio: G.711 mu-law / A-law and IMA ADPCM
@@ -229,6 +233,8 @@ def generate_codec_clips(
     """
     from macrobase_spark.operators.audio import wav_bytes_codec
 
+    cycle = codecs if codecs is not None else CODEC_WAV
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
@@ -236,7 +242,7 @@ def generate_codec_clips(
             rows = []
             for s, r in zip(ids, p.itertuples()):
                 i = int(s)
-                codec = CODEC_WAV[i % 5]
+                codec = cycle[i % len(cycle)]
                 sr = int(r.sr_hz)
                 if i % 127 == 21:
                     g = splitmix64(np.arange(64, dtype=np.uint64) + np.uint64(i))
