@@ -1,3 +1,7 @@
+from macrobase_spark.streaming.drift import (  # noqa: F401
+    reference_distribution,
+    windowed_psi,
+)
 from macrobase_spark.streaming.windowed import (  # noqa: F401
     count_sliding_window,
     count_tumbling_window,

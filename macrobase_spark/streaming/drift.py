@@ -1,0 +1,94 @@
+"""Windowed PSI drift — the streaming face of operators/drift.py.
+
+A drift monitor on a live stream can't compute global quantiles over an
+unbounded input, so the reference distribution (bin edges + expected
+bin-shares) is FIT ON A REFERENCE BATCH (`reference_distribution`) and
+baked into the plan as broadcast literals. Each event-time window then
+scores every group's observed bin-share vector against the reference:
+
+    PSI_w,g = Σ_i (a_i − e_i) · ln(a_i / e_i)
+
+The whole thing is ONE stateful aggregation: bin assignment is a chain of
+codegen'd comparisons, and per-bin counts are conditional sums inside the
+single groupBy(window, group) — no second stateful operator, so it runs in
+append mode with a plain watermark and scales like any windowed count
+(state = |windows|×|groups| rows of B counters).
+
+`windowed_psi` works unchanged on a batch DataFrame (same plan minus the
+watermark), which is what the stream==batch equivalence test pins down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from macrobase_spark.operators.drift import EPS, _bin_expr, quantile_edges
+
+
+def reference_distribution(
+    df: DataFrame, metric: str, n_bins: int = 10
+) -> tuple[list[float], list[float]]:
+    """Fit (edges, expected shares) on a reference batch. Exact percentile
+    here (small reference); approx_percentile for a huge reference."""
+    edges = quantile_edges(df, metric, n_bins)
+    n = df.count()
+    counts = {
+        r["bin"]: r["c"]
+        for r in df.select(_bin_expr(metric, edges))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    shares = [counts.get(b, 0) / n for b in range(n_bins)]
+    return edges, shares
+
+
+def windowed_psi(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str,
+    metric: str,
+    group_cols: list[str],
+    edges: list[float],
+    ref_shares: list[float],
+    min_psi: float = 0.2,
+    watermark: str | None = None,
+) -> DataFrame:
+    """PSI per (event-time window, group) against a fixed reference.
+
+    Works on batch and streaming DataFrames alike; pass `watermark` for a
+    stream (append mode emits each window once it finalizes). Output:
+    (ws, we, group_cols…, n, psi, drifted)."""
+    n_bins = len(ref_shares)
+    if len(edges) != n_bins - 1:
+        raise ValueError(f"need {n_bins - 1} edges for {n_bins} reference bins")
+    if watermark is not None:
+        df = df.withWatermark(time_col, watermark)
+    binned = df.select(
+        F.window(time_col, window_duration).alias("w"),
+        *group_cols,
+        _bin_expr(metric, edges),
+    )
+    bin_counts = [
+        F.sum((F.col("bin") == b).cast("long")).alias(f"c{b}") for b in range(n_bins)
+    ]
+    agg = binned.groupBy("w", *group_cols).agg(*bin_counts)
+    n = sum(F.col(f"c{b}") for b in range(n_bins))
+    psi = sum(
+        (
+            F.greatest(F.col(f"c{b}") / n, F.lit(EPS))
+            - F.lit(max(ref_shares[b], EPS))
+        )
+        * F.log(
+            F.greatest(F.col(f"c{b}") / n, F.lit(EPS)) / F.lit(max(ref_shares[b], EPS))
+        )
+        for b in range(n_bins)
+    )
+    return agg.select(
+        F.col("w.start").alias("ws"),
+        F.col("w.end").alias("we"),
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.round(psi, 6).alias("psi"),
+    ).withColumn("drifted", F.col("psi") >= F.lit(min_psi))
