@@ -618,10 +618,17 @@ def score_clips_from_files(
     )
 
 
-def snr_check(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
+def snr_check(
+    df: DataFrame, min_snr_db: float = 30.0, carry_cols: list[str] | None = None
+) -> DataFrame:
     """Decode every clip's PCM and score SNR vs the deterministic reference
     render — mapInPandas over Arrow batches (no per-row Python dispatch;
-    numpy does the per-clip math)."""
+    numpy does the per-clip math).
+
+    `carry_cols` rides extra input columns (e.g. codec) through the scan so
+    callers don't need a join back to the (possibly generate-on-read)
+    source — a second scan would re-run the generator and a shuffle."""
+    carry = list(carry_cols or [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -640,14 +647,15 @@ def snr_check(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
                 out_srm[i] = sr == srs[i]
                 ref = render_reference(int(idx[i]), int(sr), len(pcm))
                 out_snr[i] = snr_db(ref, pcm)
-            yield pd.DataFrame(
-                {
-                    "clip_id": ids,
-                    "decode_ok": out_ok,
-                    "snr_db": out_snr,
-                    "sr_match": out_srm,
-                }
-            )
+            out = {
+                "clip_id": ids,
+                "decode_ok": out_ok,
+                "snr_db": out_snr,
+                "sr_match": out_srm,
+            }
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
     # the reference render is keyed by the clip's content identity, which the
     # fixture encodes in the clip_id ("clip_%012d" % index) — duplicates
@@ -659,8 +667,12 @@ def snr_check(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
         ).alias("clip_index"),
         "sr_hz",
         "bytes",
+        *[c for c in carry if c not in ("clip_id", "sr_hz")],
     )
-    return cols.mapInPandas(run, SNR_SCHEMA).withColumn(
+    schema = StructType(
+        SNR_SCHEMA.fields + [df.schema[c] for c in carry]
+    )
+    return cols.mapInPandas(run, schema).withColumn(
         "snr_pass", F.col("decode_ok") & (F.col("snr_db") >= F.lit(min_snr_db))
     )
 
@@ -703,7 +715,7 @@ def flac_snr_suite(spark, sf_dir: str):
     """Timed FLAC validation kernel: parquet scan → FLAC decode (CRC+MD5
     verified) → SNR-vs-reference-render check → per-sample-rate rollup."""
     clips = spark.read.parquet(flac_clips_parquet(spark, sf_dir))
-    scored = snr_check(clips).join(clips.select("clip_id", "sr_hz"), "clip_id")
+    scored = snr_check(clips, carry_cols=["sr_hz"])
     return scored.groupBy("sr_hz").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
@@ -725,8 +737,7 @@ def codec_snr_parquet(spark, sf_dir: str) -> str:
     if not os.path.isfile(f"{path}/_SUCCESS"):
         clips = generate_codec_clips(spark, n)
         (
-            snr_check(clips, min_snr_db=25.0)
-            .join(clips.select("clip_id", "codec"), "clip_id")
+            snr_check(clips, min_snr_db=25.0, carry_cols=["codec"])
             .write.mode("overwrite")
             .parquet(path)
         )
@@ -739,9 +750,7 @@ def codec_snr_stats_pipeline(spark, sf_dir: str):
     from macrobase_spark.sources.clips import generate_codec_clips
 
     clips = generate_codec_clips(spark, _codec_clips_n(sf_dir))
-    scored = snr_check(clips, min_snr_db=25.0).join(
-        clips.select("clip_id", "codec"), "clip_id"
-    )
+    scored = snr_check(clips, min_snr_db=25.0, carry_cols=["codec"])
     return scored.groupBy("codec").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
