@@ -120,7 +120,13 @@ def _bench_only_queries() -> dict:
             generate_fp_clips,
         )
 
-        fp = audio_fingerprints(generate_fp_clips(spark, _fp_clips_n(sf_dir)))
+        # persist the narrow fingerprint relation (id + two longs): the
+        # hot-bucket guard and both self-join sides re-evaluate their input,
+        # which would re-run the decode+FFT kernel 3x. At production scale
+        # this is the materialize-the-fingerprints step (the registered twin
+        # reads them from parquet).
+        fp = audio_fingerprints(generate_fp_clips(spark, _fp_clips_n(sf_dir))).persist()
+        fp.count()
         return audio_near_dup_pairs(fp, hamming_max=10)
 
     def flac_snr_suite(spark, sf_dir):
