@@ -72,6 +72,9 @@ EXTRA = [
     "transcript_drift_stats",
     "psi_drift_clips",
     "flac_snr_suite",
+    "ks_drift_clips",
+    "hot_keys_clips",
+    "sketch_column_stats_clips",
 ]
 
 
@@ -184,6 +187,7 @@ def main() -> int:
     import macrobase_spark.operators.text  # noqa: F401
     import macrobase_spark.operators.transcript  # noqa: F401
     import macrobase_spark.operators.drift  # noqa: F401
+    import macrobase_spark.operators.profile  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

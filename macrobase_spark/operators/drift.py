@@ -139,3 +139,105 @@ def psi_drift_clips_q(spark, sf_dir):
 
     scored = spark.read.parquet(scored_parquet(spark, sf_dir))
     return psi_drift(scored, "dur_ms", ["codec"], n_bins=10, min_psi=0.2)
+
+
+def ks_drift(
+    df: DataFrame,
+    metric: str,
+    group_cols: list[str],
+    n_bins: int = 20,
+    min_d: float = 0.1,
+    edges: list[float] | None = None,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov drift of `metric` vs the
+    global distribution, evaluated on the global quantile grid.
+
+    D_g = max over grid cut points x of |CDF_g(x) − CDF_global(x)|. On the
+    quantile grid this is a deterministic lower bound of the exact KS
+    statistic that tightens as n_bins grows; exact KS needs the full
+    distinct-value grid (|groups|×|values| blowup — wrong at 10^12 rows),
+    while the grid version reuses PSI's shape: one edges pass, one
+    groupBy(group, bin) count, then window cumsums over the already-tiny
+    |groups|×|bins| aggregate. Complements PSI: KS is sensitive to
+    location/shape shifts even when per-bin shares stay small.
+
+    Returns (group_cols…, n, ks_d, drifted) — drifted = ks_d ≥ min_d.
+    """
+    from pyspark.sql import Window
+
+    if edges is None:
+        edges = quantile_edges(df, metric, n_bins)
+    binned = df.select(*group_cols, _bin_expr(metric, edges))
+    counts = binned.groupBy(*group_cols, "bin").agg(F.count(F.lit(1)).alias("c"))
+    gtot = binned.count()
+    gcnt = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("gc"))
+    groups = counts.groupBy(*group_cols).agg(F.sum("c").alias("n"))
+    grid = groups.crossJoin(F.broadcast(gcnt.select("bin")))
+    dense = (
+        grid.join(counts, [*group_cols, "bin"], "left")
+        .na.fill({"c": 0})
+        .join(F.broadcast(gcnt), "bin")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dense.select(
+        *group_cols,
+        "n",
+        (F.sum("c").over(w) / F.col("n")).alias("cum_a"),
+        (F.sum("gc").over(w) / F.lit(float(gtot))).alias("cum_e"),
+    )
+    return (
+        cum.groupBy(*group_cols, "n")
+        .agg(F.round(F.max(F.abs(F.col("cum_a") - F.col("cum_e"))), 6).alias("ks_d"))
+        .select(
+            *group_cols,
+            F.col("n").cast("long").alias("n"),
+            "ks_d",
+            (F.col("ks_d") >= F.lit(min_d)).alias("drifted"),
+        )
+    )
+
+
+@register(
+    "ks_drift_clips",
+    f"""
+    WITH e AS (
+      SELECT unnest(quantile_cont(dur_ms, [
+        0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5,
+        0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95
+      ])) AS edge FROM {_S}
+    ),
+    binned AS (
+      SELECT codec,
+             (SELECT CAST(count(*) FILTER (s.dur_ms > e.edge) AS INT) FROM e) AS bin
+      FROM {_S} s
+    ),
+    gtot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM binned),
+    gcnt AS (SELECT bin, count(*) AS gc FROM binned GROUP BY bin),
+    groups AS (SELECT codec, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY codec),
+    counts AS (SELECT codec, bin, count(*) AS c FROM binned GROUP BY codec, bin),
+    dense AS (
+      SELECT g.codec, g.n, gc.bin, coalesce(c.c, 0) AS c, gc.gc
+      FROM groups g CROSS JOIN gcnt gc
+      LEFT JOIN counts c ON c.codec = g.codec AND c.bin = gc.bin
+    ),
+    cum AS (
+      SELECT codec, n,
+             sum(c)  OVER (PARTITION BY codec ORDER BY bin) / CAST(n AS DOUBLE) AS cum_a,
+             sum(gc) OVER (PARTITION BY codec ORDER BY bin) / (SELECT t FROM gtot) AS cum_e
+      FROM dense
+    )
+    SELECT codec, n,
+           round(max(abs(cum_a - cum_e)), 6) AS ks_d,
+           round(max(abs(cum_a - cum_e)), 6) >= 0.1 AS drifted
+    FROM cum GROUP BY codec, n
+    """,
+)
+def ks_drift_clips_q(spark, sf_dir):
+    """Quantile-grid KS of dur_ms by codec over the scored clips relation —
+    flags the planted aac duration drift (×3) like PSI, via CDF distance."""
+    from macrobase_spark.operators.clips_suite import scored_parquet
+
+    scored = spark.read.parquet(scored_parquet(spark, sf_dir))
+    return ks_drift(scored, "dur_ms", ["codec"], n_bins=20, min_d=0.1)

@@ -70,3 +70,46 @@ def test_aggregate_is_group_grain(shifted):
     assert out.count() == 3
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_ks_planted_shift_recovered(shifted):
+    from macrobase_spark.operators.drift import ks_drift
+
+    got = {r["g"]: (r["ks_d"], r["drifted"]) for r in ks_drift(shifted, "v", ["g"]).collect()}
+    # c is N(160,10) vs pooled ~N(100,10): CDFs barely overlap -> D near 1
+    assert got["c"][1] is True and got["c"][0] > 0.8
+    assert got["a"][1] is False and got["a"][0] < 0.1
+    assert got["b"][1] is False and got["b"][0] < 0.1
+
+
+def test_ks_matches_scipy_on_grid(spark):
+    """Grid KS == direct numpy evaluation of max |CDF_g - CDF_global| at
+    the same quantile edges (independent reimplementation)."""
+    import numpy as np
+    from macrobase_spark.operators.drift import ks_drift, quantile_edges
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 1, 1500)
+    b = rng.normal(0.7, 1.3, 700)
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in b],
+        "g string, v double",
+    )
+    edges = quantile_edges(df, "v", 20)
+    pooled = np.concatenate([a, b])
+    got = {r["g"]: r["ks_d"] for r in ks_drift(df, "v", ["g"], edges=edges).collect()}
+    for name, arr in [("a", a), ("b", b)]:
+        # CDF at bin k (k = #edges <= x boundary) evaluated at each edge
+        cdf_g = np.array([(arr <= e).mean() for e in edges])
+        cdf_p = np.array([(pooled <= e).mean() for e in edges])
+        want = np.max(np.abs(cdf_g - cdf_p))
+        assert abs(got[name] - want) < 1e-6, (name, got[name], want)
+
+
+def test_ks_group_grain_no_python(shifted):
+    from macrobase_spark.operators.drift import ks_drift
+
+    out = ks_drift(shifted, "v", ["g"])
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
