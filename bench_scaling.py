@@ -73,6 +73,29 @@ def run_child(cores: int, n: int, table: str, scan: str) -> dict:
     return json.loads(last)
 
 
+def host_sentinel() -> dict:
+    """Raw single-thread CPU reference, measured in-process right before the
+    timed passes. The sandbox VM shares a host with unpredictable neighbors
+    and its effective CPU speed swings >2× over tens of minutes (observed:
+    2000³ GEMM 0.26–2.4 s, 10M np.sin 0.3–15 s on the SAME image), so every
+    scaling level records what the host could do at that moment — a ratio
+    between levels measured under different host states is meaningless, and
+    this makes that visible instead of silently wrong."""
+    import time as _t
+
+    import numpy as _np
+
+    a = _np.random.default_rng(0).random((1200, 1200))
+    t0 = _t.time()
+    a @ a
+    gemm_gflops = 2 * 1200**3 / (_t.time() - t0) / 1e9
+    x = _np.arange(2_000_000, dtype=_np.float64)
+    t0 = _t.time()
+    _np.sin(x)
+    sin_ms_per_m = (_t.time() - t0) * 1000 / 2
+    return {"gemm_gflops": round(gemm_gflops, 1), "sin_ms_per_m": round(sin_ms_per_m, 1)}
+
+
 def child_main(cores: int, n: int, table: str, scan: str) -> int:
     import os
     from macrobase_spark.operators.checks import SuiteConfig, run_suite, run_suite_files
@@ -125,9 +148,11 @@ def child_main(cores: int, n: int, table: str, scan: str) -> int:
     # measure the engine, not the neighbors.
     n_passes = int(os.environ.get("MB_SCALE_PASSES", "4"))
     src = table if scan == "files" else None
+    sent0 = host_sentinel()
     passes = [
         suite_pass(src if src else spark.read.parquet(table), n) for _ in range(n_passes)
     ]
+    sent1 = host_sentinel()
     timed = min(passes, key=lambda r: r["wall"])
     print(
         json.dumps(
@@ -138,6 +163,8 @@ def child_main(cores: int, n: int, table: str, scan: str) -> int:
                 "walls": [round(r["wall"], 2) for r in passes],
                 "clips_per_sec": round(n / timed["wall"], 1),
                 "violations": timed["violations"],
+                "host_before": sent0,
+                "host_after": sent1,
             }
         )
     )
@@ -217,6 +244,18 @@ def main() -> int:
         "",
         "All measured pairs: "
         + ", ".join(f"{k}: {v}" for k, v in pair_effs.items()),
+        "",
+        "Host CPU sentinel per level (single-thread GEMM GFLOPS / np.sin "
+        "ms-per-1M, before → after the timed passes; the sandbox host's "
+        "effective speed swings >2× with neighbor load, so ratios are only "
+        "valid between levels whose sentinels agree): "
+        + "; ".join(
+            f"local[{r['cores']}] {r['host_before']['gemm_gflops']}→"
+            f"{r['host_after']['gemm_gflops']} GF, "
+            f"{r['host_before']['sin_ms_per_m']}→{r['host_after']['sin_ms_per_m']} ms/M"
+            for r in results
+            if "host_before" in r
+        ),
         "",
         "Reproduce: `python bench_scaling.py`",
         "",

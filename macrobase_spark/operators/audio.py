@@ -599,8 +599,16 @@ def score_clips_from_files(
     )
     if not files:
         raise ValueError(f"no parquet part files under {table_path!r}")
-    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
-        len(files)
+    # one task per file, guaranteed: a parallelize() leaf has exactly this
+    # partitioning and AQE cannot coalesce a leaf (the path-list shuffle it
+    # replaces was sized on the path STRINGS' bytes, so AQE merged 32 files
+    # into ~20 tasks and left a third of the cores idle during the scan —
+    # the hottest stage of the whole suite)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize([(f,) for f in files], len(files)),
+        StructType([StructField("path", StringType())]),
     )
 
     def run(batches):
