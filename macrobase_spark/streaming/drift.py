@@ -92,3 +92,56 @@ def windowed_psi(
         n.cast("long").alias("n"),
         F.round(psi, 6).alias("psi"),
     ).withColumn("drifted", F.col("psi") >= F.lit(min_psi))
+
+
+def windowed_ks(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str,
+    metric: str,
+    group_cols: list[str],
+    edges: list[float],
+    ref_shares: list[float],
+    min_d: float = 0.1,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Quantile-grid two-sample KS per (event-time window, group) against a
+    fixed reference distribution — the streaming face of
+    operators/drift.ks_drift, same single-stateful-aggregation shape as
+    windowed_psi: D = max_b |cumshare_obs(b) − cumshare_ref(b)| where both
+    CDFs are evaluated at the reference bin edges; the observed cumulative
+    shares are running sums of the same per-bin conditional counters, so
+    the extra work over PSI is pure codegen arithmetic on the aggregate.
+
+    Works on batch and streaming DataFrames alike; pass `watermark` for a
+    stream (append mode). Output: (ws, we, group_cols…, n, ks_d, drifted)."""
+    n_bins = len(ref_shares)
+    if len(edges) != n_bins - 1:
+        raise ValueError(f"need {n_bins - 1} edges for {n_bins} reference bins")
+    if watermark is not None:
+        df = df.withWatermark(time_col, watermark)
+    binned = df.select(
+        F.window(time_col, window_duration).alias("w"),
+        *group_cols,
+        _bin_expr(metric, edges),
+    )
+    bin_counts = [
+        F.sum((F.col("bin") == b).cast("long")).alias(f"c{b}") for b in range(n_bins)
+    ]
+    agg = binned.groupBy("w", *group_cols).agg(*bin_counts)
+    n = sum(F.col(f"c{b}") for b in range(n_bins))
+    ref_cum = 0.0
+    diffs = []
+    obs_cum = None
+    for b in range(n_bins - 1):  # last cut: both CDFs are 1, diff is 0
+        ref_cum += ref_shares[b]
+        obs_cum = F.col(f"c{b}") if obs_cum is None else obs_cum + F.col(f"c{b}")
+        diffs.append(F.abs(obs_cum / n - F.lit(ref_cum)))
+    ks = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    return agg.select(
+        F.col("w.start").alias("ws"),
+        F.col("w.end").alias("we"),
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.round(ks, 6).alias("ks_d"),
+    ).withColumn("drifted", F.col("ks_d") >= F.lit(min_d))

@@ -117,3 +117,81 @@ def test_single_stateful_operator(spark, drift_stream, ref):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("Aggregate") <= 2
+
+
+def test_ks_planted_window_recovered(drift_stream, ref):
+    from macrobase_spark.streaming.drift import windowed_ks
+
+    edges, shares = ref
+    res = windowed_ks(
+        drift_stream, "ts", "1 hour", "value", ["g"], edges, shares
+    ).collect()
+    assert len(res) == 6
+    for r in res:
+        if r["g"] == "x" and r["ws"].hour == 1:
+            # N(90,5) vs reference N(50,5): nearly disjoint CDFs
+            assert r["drifted"] and r["ks_d"] > 0.8, r
+        else:
+            assert not r["drifted"] and r["ks_d"] < 0.08, r
+
+
+def test_ks_stream_matches_batch(spark, drift_stream, ref, tmp_path):
+    """windowed_ks over a file stream (append mode) == the same plan on the
+    batch DataFrame, one emission per finalized window."""
+    from macrobase_spark.streaming.drift import windowed_ks
+
+    edges, shares = ref
+    src = str(tmp_path / "ks_src")
+    drift_stream.select("id", "g", "value", "ts").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("id long, g string, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_ks(
+        stream, "ts", "1 hour", "value", ["g"], edges, shares, watermark="3 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ksdrift")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for attempt in range(2, 22):
+            spark.createDataFrame(
+                [(99990 + attempt, "z", 0.0,
+                  f"2024-{1 + attempt // 28:02d}-{1 + attempt % 28:02d} 00:00:00")],
+                "id long, g string, value double, ts_s string",
+            ).select("id", "g", "value", F.to_timestamp("ts_s").alias("ts")) \
+             .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            q.processAllAvailable()
+            if spark.table("ksdrift").count() >= 6:
+                break
+        got = {
+            (r["ws"], r["g"]): (r["n"], r["ks_d"], r["drifted"])
+            for r in spark.table("ksdrift").collect()
+            if r["g"] in ("x", "y")
+        }
+    finally:
+        q.stop()
+    exp = {
+        (r["ws"], r["g"]): (r["n"], r["ks_d"], r["drifted"])
+        for r in windowed_ks(
+            drift_stream, "ts", "1 hour", "value", ["g"], edges, shares
+        ).collect()
+    }
+    assert got == exp and len(got) == 6
+
+
+def test_ks_single_stateful_operator(spark, drift_stream, ref):
+    from macrobase_spark.streaming.drift import windowed_ks
+
+    edges, shares = ref
+    plan = (
+        windowed_ks(drift_stream, "ts", "1 hour", "value", ["g"], edges, shares)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Aggregate") <= 2
