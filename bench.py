@@ -207,7 +207,10 @@ def main() -> int:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     bench_only = _bench_only_queries()
     timings: dict[str, float] = {}
+    from bench_scaling import host_sentinel
+
     extra: dict[str, float] = {}
+    sent0 = host_sentinel()
     for name in HEADLINE + EXTRA:
         fn = bench_only.get(name) or Q.QUERIES.get(name)
         if fn is None:
@@ -235,6 +238,12 @@ def main() -> int:
 
     total = round(sum(v for k, v in timings.items() if k in HEADLINE), 3)
     extra["extra_total"] = round(sum(v for k, v in timings.items() if k in EXTRA), 3)
+    # host-speed sentinel (single-thread GEMM GFLOPS + np.sin ms per 1M)
+    # before/after the timed queries: the sandbox host's effective CPU speed
+    # swings >2x with neighbor load, so absolute walls are only comparable
+    # across rounds when the sentinels agree (see BENCH/BASELINE.md)
+    extra["host_before"] = sent0
+    extra["host_after"] = host_sentinel()
     print(
         json.dumps(
             {
