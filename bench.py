@@ -75,6 +75,7 @@ EXTRA = [
     "ks_drift_clips",
     "hot_keys_clips",
     "sketch_column_stats_clips",
+    "silence_stats",
 ]
 
 
@@ -188,6 +189,7 @@ def main() -> int:
     import macrobase_spark.operators.transcript  # noqa: F401
     import macrobase_spark.operators.drift  # noqa: F401
     import macrobase_spark.operators.profile  # noqa: F401
+    import macrobase_spark.operators.silence  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

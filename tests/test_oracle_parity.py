@@ -15,6 +15,7 @@ import macrobase_spark.operators.hst  # noqa: F401
 import macrobase_spark.operators.image  # noqa: F401
 import macrobase_spark.operators.mcod  # noqa: F401
 import macrobase_spark.operators.profile  # noqa: F401
+import macrobase_spark.operators.silence  # noqa: F401
 import macrobase_spark.operators.rrcf  # noqa: F401
 import macrobase_spark.operators.subspace_explainers  # noqa: F401
 import macrobase_spark.operators.similarity  # noqa: F401
