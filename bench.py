@@ -76,6 +76,7 @@ EXTRA = [
     "hot_keys_clips",
     "sketch_column_stats_clips",
     "silence_stats",
+    "snapshot_drift_clips",
 ]
 
 

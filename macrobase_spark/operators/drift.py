@@ -241,3 +241,143 @@ def ks_drift_clips_q(spark, sf_dir):
 
     scored = spark.read.parquet(scored_parquet(spark, sf_dir))
     return ks_drift(scored, "dur_ms", ["codec"], n_bins=20, min_d=0.1)
+
+
+def snapshot_shares(
+    ref_df: DataFrame, metric: str, n_bins: int = 10
+) -> tuple[list[float], list[float]]:
+    """Fit (edges, bin shares) of `metric` on a reference snapshot — the
+    train-time distribution a monitor compares incoming batches against.
+    Two tiny jobs (quantile pass + one |bins|-row aggregate); the result is
+    baked into the comparison plan as broadcast literals."""
+    edges = quantile_edges(ref_df, metric, n_bins)
+    rb = ref_df.select(_bin_expr(metric, edges))
+    rn = rb.count()
+    cnt = {
+        r["bin"]: r["c"]
+        for r in rb.groupBy("bin").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    return edges, [cnt.get(b, 0) / rn for b in range(n_bins)]
+
+
+def snapshot_drift(
+    ref_df: DataFrame,
+    cur_df: DataFrame,
+    metric: str,
+    group_cols: list[str],
+    n_bins: int = 10,
+    min_psi: float = 0.2,
+    min_d: float = 0.1,
+    edges: list[float] | None = None,
+    ref_shares: list[float] | None = None,
+) -> DataFrame:
+    """Two-snapshot drift: PSI and quantile-grid KS of the CURRENT
+    DataFrame's `metric` distribution (per group) against a REFERENCE
+    snapshot — the production monitor form (train table vs incoming batch),
+    where psi_drift/ks_drift compare groups against their own pooled
+    global.
+
+    One shuffle over the current table: per-bin conditional counters inside
+    a single groupBy(group_cols) aggregate (the windowed_psi shape without
+    the window); PSI and the KS maximum are stateless arithmetic against
+    the broadcast reference shares. Returns
+    (group_cols…, n, psi, ks_d, psi_drifted, ks_drifted)."""
+    if edges is None or ref_shares is None:
+        edges, ref_shares = snapshot_shares(ref_df, metric, n_bins)
+    n_bins = len(ref_shares)
+    binned = cur_df.select(*group_cols, _bin_expr(metric, edges))
+    bin_counts = [
+        F.sum((F.col("bin") == b).cast("long")).alias(f"c{b}") for b in range(n_bins)
+    ]
+    agg = binned.groupBy(*group_cols).agg(*bin_counts)
+    n = sum(F.col(f"c{b}") for b in range(n_bins))
+    psi = sum(
+        (
+            F.greatest(F.col(f"c{b}") / n, F.lit(EPS))
+            - F.lit(max(ref_shares[b], EPS))
+        )
+        * F.log(
+            F.greatest(F.col(f"c{b}") / n, F.lit(EPS))
+            / F.lit(max(ref_shares[b], EPS))
+        )
+        for b in range(n_bins)
+    )
+    ref_cum = 0.0
+    obs_cum = None
+    diffs = []
+    for b in range(n_bins - 1):
+        ref_cum += ref_shares[b]
+        obs_cum = F.col(f"c{b}") if obs_cum is None else obs_cum + F.col(f"c{b}")
+        diffs.append(F.abs(obs_cum / n - F.lit(ref_cum)))
+    ks = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.round(psi, 6).alias("psi"),
+        F.round(ks, 6).alias("ks_d"),
+    ).withColumns(
+        {
+            "psi_drifted": F.col("psi") >= F.lit(min_psi),
+            "ks_drifted": F.col("ks_d") >= F.lit(min_d),
+        }
+    )
+
+
+@register(
+    "snapshot_drift_clips",
+    f"""
+    WITH ref AS (SELECT dur_ms FROM {_S} WHERE codec = 'opus'),
+    e AS (
+      SELECT unnest(quantile_cont(dur_ms, [
+        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9
+      ])) AS edge FROM ref
+    ),
+    rb AS (
+      SELECT (SELECT CAST(count(*) FILTER (r.dur_ms > e.edge) AS INT) FROM e) AS bin
+      FROM ref r
+    ),
+    rshare AS (
+      SELECT bin, count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM rb) AS share
+      FROM rb GROUP BY bin
+    ),
+    cb AS (
+      SELECT codec,
+             (SELECT CAST(count(*) FILTER (s.dur_ms > e.edge) AS INT) FROM e) AS bin
+      FROM {_S} s
+    ),
+    counts AS (SELECT codec, bin, count(*) AS c FROM cb GROUP BY codec, bin),
+    groups AS (SELECT codec, CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY codec),
+    dense AS (
+      SELECT g.codec, g.n, rs.bin, rs.share AS e, coalesce(c.c, 0) AS c
+      FROM groups g CROSS JOIN rshare rs
+      LEFT JOIN counts c ON c.codec = g.codec AND c.bin = rs.bin
+    ),
+    scored AS (
+      SELECT codec, n,
+             round(sum((greatest(c / CAST(n AS DOUBLE), 1e-6) - greatest(e, 1e-6))
+                       * ln(greatest(c / CAST(n AS DOUBLE), 1e-6) / greatest(e, 1e-6))), 6)
+               AS psi,
+             round(max(CASE WHEN bin < 9 THEN abs(cum_c / CAST(n AS DOUBLE) - cum_e) END), 6)
+               AS ks_d
+      FROM (
+        SELECT *,
+               sum(c) OVER (PARTITION BY codec ORDER BY bin) AS cum_c,
+               sum(e) OVER (PARTITION BY codec ORDER BY bin) AS cum_e
+        FROM dense
+      ) GROUP BY codec, n
+    )
+    SELECT codec, n, psi, ks_d,
+           psi >= 0.2 AS psi_drifted, ks_d >= 0.1 AS ks_drifted
+    FROM scored
+    """,
+)
+def snapshot_drift_clips_q(spark, sf_dir):
+    """Two-snapshot drift demo: reference = the majority codec's (opus)
+    duration distribution; current = every codec. The planted aac ×3
+    duration drift flags on both PSI and KS; clean codecs stay quiet."""
+    from macrobase_spark.operators.clips_suite import scored_parquet
+
+    scored = spark.read.parquet(scored_parquet(spark, sf_dir))
+    return snapshot_drift(
+        scored.filter(F.col("codec") == "opus"), scored, "dur_ms", ["codec"]
+    )

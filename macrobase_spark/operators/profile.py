@@ -32,14 +32,25 @@ def hot_keys(
     df: DataFrame, cols: list[str], min_share: float = 0.2
 ) -> DataFrame:
     """Exact heavy hitters per column: every (column, value) whose share of
-    rows exceeds `min_share`. One partial+final aggregate per column over a
-    single scan (unioned narrow projections); output bounded by
-    len(cols)/min_share rows. Returns (column, value, n, share)."""
+    rows exceeds `min_share`. ONE scan for any number of columns — each row
+    explodes into len(cols) (column, value) pairs inside the projection
+    (a union of per-column projections would re-scan the source once per
+    column, which is wrong at 10^12 rows), then one partial+final hash
+    aggregate whose map-side combine absorbs the hot keys themselves;
+    output bounded by len(cols)/min_share rows by construction.
+    Returns (column, value, n, share)."""
     total = df.count()
-    parts = None
-    for c in cols:
-        p = df.select(F.lit(c).alias("column"), F.col(c).cast("string").alias("value"))
-        parts = p if parts is None else parts.unionAll(p)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"), F.col(c).cast("string").alias("value")
+                )
+                for c in cols
+            ]
+        )
+    ).alias("kv")
+    parts = df.select(pairs).select("kv.column", "kv.value")
     return (
         parts.groupBy("column", "value")
         .agg(F.count(F.lit(1)).alias("n"))

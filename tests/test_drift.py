@@ -113,3 +113,36 @@ def test_ks_group_grain_no_python(shifted):
     assert out.count() == 3
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_snapshot_drift_planted(spark):
+    """Reference = clean N(100,10); current batch has group c shifted.
+    Both PSI and KS flag only the shifted group."""
+    from macrobase_spark.operators.drift import snapshot_drift
+
+    rng = np.random.default_rng(5)
+    ref = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(100, 10, 4000)], "v double"
+    )
+    rows = [("a", float(v)) for v in rng.normal(100, 10, 1500)]
+    rows += [("c", float(v)) for v in rng.normal(160, 10, 800)]
+    cur = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in snapshot_drift(ref, cur, "v", ["g"]).collect()}
+    assert got["c"]["psi_drifted"] and got["c"]["ks_drifted"]
+    assert got["c"]["ks_d"] > 0.8 and got["c"]["psi"] > 1.0
+    assert not got["a"]["psi_drifted"] and not got["a"]["ks_drifted"]
+    assert got["a"]["n"] == 1500 and got["c"]["n"] == 800
+
+
+def test_snapshot_drift_single_aggregate(spark):
+    from macrobase_spark.operators.drift import snapshot_drift
+
+    ref = spark.range(2000).select((F.col("id") % 97).cast("double").alias("v"))
+    cur = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") % 89).cast("double").alias("v")
+    )
+    out = snapshot_drift(ref, cur, "v", ["g"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the comparison plan itself is ONE aggregate pair over cur
+    assert plan.count("Aggregate") <= 2
+    assert out.count() == 1

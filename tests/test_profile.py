@@ -76,3 +76,14 @@ def test_sketch_stats_merge_equals_whole(spark):
     )
     for name in ("p50", "p95", "p99"):
         assert abs(a[name] - b[name]) <= 0.02 * 1000, (name, a[name], b[name])
+
+
+def test_hot_keys_single_scan(skewed):
+    """One scan regardless of column count: the optimized plan contains the
+    source relation once (explode-based), not once per column."""
+    df = skewed.select("k", F.col("k").alias("k2"), F.col("k").alias("k3"))
+    plan = (
+        hot_keys(df, ["k", "k2", "k3"], min_share=0.2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("LogicalRDD") <= 1 and "Union" not in plan
