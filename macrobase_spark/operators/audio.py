@@ -242,11 +242,39 @@ def decode_compressed(codec: str, b: bytes):
     raise NotImplementedError(f"decode for codec {codec!r} requires external libraries")
 
 
+def sin_samples(w: float, n: int) -> np.ndarray:
+    """sin(w·k) for k = 0..n−1 WITHOUT a libm call per sample: one complex
+    rotation cumprod per 4096-sample block, each block reseeded exactly from
+    sin/cos at its boundary (2 libm calls per block, ~8 flops/sample of
+    vector mult-adds otherwise).
+
+    Why not np.sin: the vectorized libm sin uses AVX gather-based table
+    lookups, which collapse ~50× on hosts with gather-throughput
+    mitigations (e.g. Downfall/GDS microcode — observed on this sandbox:
+    10M np.sin swinging 0.3 s → 15 s, kernel-time-bound); a rotation
+    recurrence is pure mul/add and immune. Accuracy: |z|-drift over a
+    4096-step cumprod is ≤ ~4096·ε ≈ 1e-12 before the exact reseed
+    (property-tested vs np.sin at 1e-9 in tests/test_audio_kernel_property)."""
+    out = np.empty(n)
+    B = 4096
+    rot = complex(np.cos(w), np.sin(w))
+    m0 = min(B, n)
+    base = np.cumprod(np.full(m0, rot, dtype=np.complex128))  # z^1..z^m0
+    for s in range(0, n, B):
+        m = min(B, n - s)
+        ws = w * s
+        z0 = complex(np.cos(ws), np.sin(ws))  # exact block seed: z^s
+        out[s] = z0.imag
+        if m > 1:
+            np.multiply(base[: m - 1].imag, z0.real, out=out[s + 1 : s + m])
+            out[s + 1 : s + m] += base[: m - 1].real * z0.imag
+    return out
+
+
 def render_reference(clip_index: int, sr: int, n_samples: int) -> np.ndarray:
     """The deterministic reference render: unit sine at f0(clip_index)."""
     f0 = float(tone_hz(np.array([clip_index], dtype=np.uint64))[0])
-    t = np.arange(n_samples, dtype=np.float64) / sr
-    return 0.8 * np.sin(2 * np.pi * f0 * t)
+    return 0.8 * sin_samples(2 * np.pi * f0 / sr, n_samples)
 
 
 # per-worker memo of reference renders: f0 takes ~400 distinct values and
@@ -270,14 +298,11 @@ def _ref_matrix(sr: int, ns: int, f0s: np.ndarray) -> tuple[np.ndarray, np.ndarr
     reference matrix."""
     out = np.empty((len(f0s), ns), dtype=np.float64)
     ssq = np.empty(len(f0s), dtype=np.float64)
-    t = None
     for k, f0 in enumerate(f0s):
         key = (sr, ns, float(f0))
         hit = _REF_CACHE.get(key)
         if hit is None:
-            if t is None:
-                t = np.arange(ns, dtype=np.float64) / sr
-            r = 0.8 * np.sin(2 * np.pi * float(f0) * t)
+            r = 0.8 * sin_samples(2 * np.pi * float(f0) / sr, ns)
             hit = (r, float(r @ r))
             if (
                 ns <= _REF_CACHE_ENTRY_MAX

@@ -135,4 +135,28 @@ def test_reference_render_cache_consistency():
     f0 = float(tone_hz(idx)[0])
     r1 = render_reference(123456, 16000, 1600)
     r2 = 0.8 * np.sin(2 * np.pi * f0 * (np.arange(1600) / 16000.0))
-    assert np.array_equal(r1, r2)
+    # render uses the libm-free rotation kernel (sin_samples): equal to the
+    # libm sine to 1e-9, and bit-identical to itself across calls
+    assert np.abs(r1 - r2).max() < 1e-9
+    assert np.array_equal(r1, render_reference(123456, 16000, 1600))
+
+
+def test_sin_samples_matches_libm():
+    """The libm-free rotation render == np.sin to 1e-9 across block
+    boundaries, long renders, and awkward frequencies (hypothesis-style
+    grid; the 4096-block reseed bounds cumprod drift)."""
+    import numpy as np
+    from macrobase_spark.operators.audio import sin_samples
+
+    for f0, sr, n in [
+        (100.0, 8000, 1),
+        (100.0, 8000, 4096),
+        (100.0, 8000, 4097),
+        (499.9, 48000, 10_000),
+        (250.5, 16000, 1600),
+        (355.0, 22050, 123_457),
+    ]:
+        w = 2 * np.pi * f0 / sr
+        got = sin_samples(w, n)
+        want = np.sin(w * np.arange(n, dtype=np.float64))
+        assert np.abs(got - want).max() < 1e-9, (f0, sr, n)
