@@ -70,6 +70,12 @@ def test_stream_matches_batch(spark, planted_stream, tmp_path):
         "1 hour",
         F.col("value") > 99.0,
         ["attr"],
+        # the data spans 3 h and arrives one FILE per micro-batch in listing
+        # order, which is not event-time order — a 0 s watermark (the
+        # reference's in-order assumption) would drop whole files as late
+        # nondeterministically (the residual 1-in-N flake); a watermark
+        # covering the span makes arrival order irrelevant
+        watermark="4 hours",
         min_support=0.5,
         min_ratio_metric=2.0,
     )
@@ -79,6 +85,14 @@ def test_stream_matches_batch(spark, planted_stream, tmp_path):
         .outputMode("append")
         .start()
     )
+    exp = {
+        (r["ws"], r["value"], round(r["support"], 6), round(r["global_ratio"], 6))
+        for r in windowed_explain(
+            planted_stream, "ts", "1 hour", None, F.col("value") > 99.0, ["attr"],
+            min_support=0.5, min_ratio_metric=2.0,
+        ).collect()
+    }
+    assert len(exp) > 0  # fixture sanity: the planted window must explain
     try:
         q.processAllAvailable()
         # sentinel far-future inliers ARRIVE AS LATER FILES so the
@@ -86,12 +100,11 @@ def test_stream_matches_batch(spark, planted_stream, tmp_path):
         # emits the finalized windows (append mode emits on the batch AFTER
         # the watermark moves; a sentinel in the last batch would be a
         # no-op). Sentinel windows never emit: no outliers. KEEP appending
-        # until the sink is non-empty (bounded): a multi-file append can
-        # land several sentinels in one batch, and the file source's
-        # directory listing can momentarily miss a just-written file, so a
-        # fixed small retry count still raced (r3 verdict flagged the
-        # flake). Each sentinel uses a strictly later timestamp so every
-        # extra file advances the watermark again.
+        # (bounded) until the sink holds the FULL expected cardinality —
+        # breaking on merely non-empty raced when one micro-batch emitted
+        # only a subset of the finalized windows (the residual flake the r3
+        # verdict's fix still carried). Each sentinel uses a strictly later
+        # timestamp so every extra file advances the watermark again.
         for attempt in range(2, 22):
             spark.createDataFrame(
                 [(99990 + attempt, "z", 0.0, f"2024-{1 + attempt // 28:02d}-{1 + attempt % 28:02d} 00:00:00")],
@@ -101,7 +114,7 @@ def test_stream_matches_batch(spark, planted_stream, tmp_path):
             ).coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
             q.processAllAvailable()
-            if spark.table("winexp").count() > 0:
+            if spark.table("winexp").count() >= len(exp):
                 break
         got = {
             (r["ws"], r["value"], round(r["support"], 6), round(r["global_ratio"], 6))
@@ -109,14 +122,7 @@ def test_stream_matches_batch(spark, planted_stream, tmp_path):
         }
     finally:
         q.stop()
-    exp = {
-        (r["ws"], r["value"], round(r["support"], 6), round(r["global_ratio"], 6))
-        for r in windowed_explain(
-            planted_stream, "ts", "1 hour", None, F.col("value") > 99.0, ["attr"],
-            min_support=0.5, min_ratio_metric=2.0,
-        ).collect()
-    }
-    assert got == exp and len(got) > 0
+    assert got == exp
 
 
 def test_paned_equals_windowed(spark, planted_stream):
