@@ -435,8 +435,35 @@ SCORED_SCHEMA = StructType(
         StructField("decode_ok", BooleanType()),
         StructField("snr_db", DoubleType()),
         StructField("sr_match", BooleanType()),
+        # silence profile, fused into the same decode pass (round 4): a clip
+        # can decode cleanly and pass SNR yet be unusable training data —
+        # dead mic, long pads, mid-clip dead air. One scan yields both.
+        StructField("silence_ratio", DoubleType()),
+        StructField("silence_lead_ms", DoubleType()),
+        StructField("silence_trail_ms", DoubleType()),
+        StructField("silence_longest_ms", DoubleType()),
+        StructField("n_silence_runs", LongType()),
     ]
 )
+
+# |sample| < 0.01 full-scale counts as silent; the int16 equivalent is the
+# open interval (-328, 328) — exactly operators/silence.py's float compare
+# (|i16/32768| < 0.01 ⟺ -327.68 < i16 < 327.68 ⟺ -328 < i16 < 328 on ints),
+# so the fused columns equal the standalone operator's bit-for-bit
+# (gated by tests/test_silence.py::test_fused_equals_standalone).
+_SIL_I16 = 328
+_SIL_MIN_RUN_MS = 50.0
+
+
+def _run_lengths(quiet: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Starts and lengths of True runs in a boolean array (vectorized)."""
+    b = np.empty(len(quiet) + 2, dtype=np.int8)
+    b[0] = b[-1] = 0
+    b[1:-1] = quiet
+    d = np.diff(b)
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return starts, ends - starts
 
 
 def _binary_views(arr) -> tuple[np.ndarray, np.ndarray]:
@@ -500,6 +527,11 @@ def score_record_batch(b):
     out_ok = np.zeros(n, dtype=bool)
     out_snr = np.full(n, -np.inf)
     out_srm = np.zeros(n, dtype=bool)
+    out_sil = np.zeros(n)
+    out_lead = np.zeros(n)
+    out_trail = np.zeros(n)
+    out_long = np.zeros(n)
+    out_runs = np.zeros(n, dtype=np.int64)
     # decode per clip (variable-length headers), then batch the render+SNR
     # as one matrix op per (sr, n_samples) shape group — most clips share a
     # shape, so sin/reductions run over 2D blocks instead of small arrays
@@ -514,6 +546,22 @@ def score_record_batch(b):
         out_ok[i] = True
         out_srm[i] = sr == srs[i]
         groups.setdefault((sr, len(pcm)), []).append(i)
+        # silence profile on the int16 view, while it is hot in cache —
+        # the SNR pass below re-reads these samples through the float
+        # fill, so fusing here costs ~3 cheap int16/bool passes instead
+        # of a SECOND full scan of the payload bytes at 10^12 rows
+        if len(pcm) and sr > 0:
+            quiet = (pcm > -_SIL_I16) & (pcm < _SIL_I16)
+            out_sil[i] = quiet.mean()
+            if quiet.any():
+                starts, lens = _run_lengths(quiet)
+                ms = 1000.0 / sr
+                if starts[0] == 0:
+                    out_lead[i] = lens[0] * ms
+                if starts[-1] + lens[-1] == len(pcm):
+                    out_trail[i] = lens[-1] * ms
+                out_long[i] = lens.max() * ms
+                out_runs[i] = int((lens * ms >= _SIL_MIN_RUN_MS).sum())
     for (sr, ns), members in groups.items():
         if ns == 0:
             continue
@@ -561,6 +609,11 @@ def score_record_batch(b):
             pa.array(out_ok),
             pa.array(out_snr, type=pa.float64()),
             pa.array(out_srm),
+            pa.array(np.round(out_sil, 6)),
+            pa.array(np.round(out_lead, 3)),
+            pa.array(np.round(out_trail, 3)),
+            pa.array(np.round(out_long, 3)),
+            pa.array(out_runs),
         ],
         names=[
             "clip_id",
@@ -573,6 +626,11 @@ def score_record_batch(b):
             "decode_ok",
             "snr_db",
             "sr_match",
+            "silence_ratio",
+            "silence_lead_ms",
+            "silence_trail_ms",
+            "silence_longest_ms",
+            "n_silence_runs",
         ],
     )
 

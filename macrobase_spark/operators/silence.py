@@ -63,15 +63,7 @@ SILENCE_SCHEMA = StructType(
 )
 
 
-def _run_lengths(quiet: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Starts and lengths of True runs in a boolean array (vectorized)."""
-    b = np.empty(len(quiet) + 2, dtype=np.int8)
-    b[0] = b[-1] = 0
-    b[1:-1] = quiet
-    d = np.diff(b)
-    starts = np.flatnonzero(d == 1)
-    ends = np.flatnonzero(d == -1)
-    return starts, ends - starts
+from macrobase_spark.operators.audio import _run_lengths  # shared kernel helper
 
 
 def silence_features(
@@ -220,6 +212,50 @@ def silence_features_parquet(spark, sf_dir: str) -> str:
 
 
 _SF = "read_parquet('/tmp/mb_silence_v1_1000.parquet/*.parquet')"
+
+
+# Fused-path query: the SAME silence profile columns now come out of the
+# suite's single decode scan (audio.score_record_batch, scored fixture v3) —
+# at 10^12 rows SNR + silence cost ONE pass over the payload bytes, not two.
+# This query oracle-certifies the fused columns over the materialized scored
+# relation; kernel equality vs the standalone float-path operator is gated by
+# tests/test_silence.py::test_fused_equals_standalone.
+_S3 = "read_parquet('/tmp/mb_scored_v3_10000.parquet/*.parquet')"
+
+
+@register(
+    "clips_silence_stats",
+    f"""
+    SELECT codec,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(silence_ratio), 6) AS avg_silence_ratio,
+           round(max(silence_longest_ms), 3) AS max_longest_ms,
+           CAST(coalesce(sum(CASE WHEN silence_ratio >= 0.99 AND decode_ok
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dead
+    FROM {_S3} GROUP BY codec
+    """,
+)
+def clips_silence_stats_q(spark, sf_dir):
+    """Per-codec silence profile straight off the fused scored relation —
+    no second scan of the payload bytes."""
+    from macrobase_spark.operators.clips_suite import scored_parquet
+
+    scored = spark.read.parquet(scored_parquet(spark, sf_dir))
+    return scored.groupBy("codec").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("silence_ratio"), 6).alias("avg_silence_ratio"),
+        F.round(F.max("silence_longest_ms"), 3).alias("max_longest_ms"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("silence_ratio") >= 0.99) & F.col("decode_ok"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_dead"),
+    )
 
 
 @register(

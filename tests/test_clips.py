@@ -207,7 +207,10 @@ def test_suite_null_group_values_not_mistaken_for_subtotals(spark):
     for i in range(40):
         codec = None if i % 10 == 0 else ("pcm16" if i % 2 else "wav")
         sr = None if i % 8 == 0 else 16000
-        rows.append((f"c{i}", sr, 1000 + i, codec, False, False, 3200, True, 40.0, True))
+        rows.append(
+            (f"c{i}", sr, 1000 + i, codec, False, False, 3200, True, 40.0, True,
+             0.0, 0.0, 0.0, 0.0, 0)
+        )
     scored = (
         spark.createDataFrame(rows, SCORED_SCHEMA)
         .withColumn("snr_pass", F.lit(True))

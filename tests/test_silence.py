@@ -62,6 +62,55 @@ def test_feature_values(feats):
     assert ok["silence_ratio"] < 0.02 and ok["longest_ms"] < 1.0
 
 
+def test_fused_equals_standalone(spark):
+    """The silence columns fused into the suite's decode scan
+    (audio.score_record_batch, int16 compare) equal the standalone
+    operator's (float compare) BIT FOR BIT on silence-planted clips —
+    two independent implementations of the same contract."""
+    from macrobase_spark.operators.audio import score_clips
+
+    src = generate_silence_clips(spark, 300).toPandas()
+    src["idx"] = src["clip_id"].str.slice(6).astype(int)
+    src["clip_id"] = src["idx"].map(lambda i: f"clip_{i:012d}")
+    clips = spark.createDataFrame(
+        src.assign(sr_hz=16000, dur_ms=400, codec="pcm16", transcript="x")[
+            ["clip_id", "sr_hz", "dur_ms", "codec", "transcript", "bytes"]
+        ]
+    ).withColumn("sr_hz", F.col("sr_hz").cast("int")).withColumn(
+        "dur_ms", F.col("dur_ms").cast("int")
+    )
+    fused = (
+        score_clips(clips)
+        .select(
+            "clip_id",
+            "silence_ratio",
+            "silence_lead_ms",
+            "silence_trail_ms",
+            "silence_longest_ms",
+            "n_silence_runs",
+        )
+        .toPandas()
+        .set_index("clip_id")
+        .sort_index()
+    )
+    standalone = (
+        silence_features(clips.select("clip_id", "bytes"))
+        .toPandas()
+        .set_index("clip_id")
+        .sort_index()
+    )
+    assert len(fused) == len(standalone) == 300
+    pairs = [
+        ("silence_ratio", "silence_ratio"),
+        ("silence_lead_ms", "leading_ms"),
+        ("silence_trail_ms", "trailing_ms"),
+        ("silence_longest_ms", "longest_ms"),
+        ("n_silence_runs", "n_silence_runs"),
+    ]
+    for fcol, scol in pairs:
+        assert (fused[fcol].to_numpy() == standalone[scol].to_numpy()).all(), fcol
+
+
 def test_stats_query_oracle_shape(spark, tmp_path):
     """The registered aggregate matches a direct pandas reimplementation on
     the same feature rows (engine-independent ground truth)."""
