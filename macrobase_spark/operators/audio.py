@@ -635,7 +635,9 @@ def score_record_batch(b):
     )
 
 
-def score_clips(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
+def score_clips(
+    df: DataFrame, min_snr_db: float = 30.0, carry_cols: list[str] | None = None
+) -> DataFrame:
     """ONE Arrow pass over the full clips table that emits the narrow scored
     relation every downstream check consumes: scalar passthrough + transcript
     flags + payload size + decode/SNR verdicts.
@@ -645,15 +647,35 @@ def score_clips(df: DataFrame, min_snr_db: float = 30.0) -> DataFrame:
     ``bytes`` objects, passthrough columns are zero-copy. This is the
     engine's scan discipline at 10^12-row scale: the `bytes` column is read
     exactly once, everything downstream operates on ~60 bytes/row.
+
+    `carry_cols` rides extra input columns (e.g. an event-time column for
+    the streaming face) through the scan zero-copy — the kernel is
+    row-aligned, so the carried Arrow arrays pass straight to the output.
+
+    Works UNCHANGED on a streaming DataFrame: mapInArrow is a stateless
+    streaming operator, so `score_clips(readStream...)` is the streaming
+    scan (see macrobase_spark/streaming/validate.py).
     """
+    carry = [c for c in (carry_cols or [])]
+    out_schema = StructType(SCORED_SCHEMA.fields + [df.schema[c] for c in carry])
 
     def run(batches):
-        for b in batches:
-            yield score_record_batch(b)
+        import pyarrow as pa
 
+        for b in batches:
+            out = score_record_batch(b)
+            if carry:
+                names = list(b.schema.names)
+                out = pa.RecordBatch.from_arrays(
+                    list(out.columns) + [b.column(names.index(c)) for c in carry],
+                    names=out.schema.names + carry,
+                )
+            yield out
+
+    base = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript", "bytes"]
     return df.select(
-        "clip_id", "sr_hz", "dur_ms", "codec", "transcript", "bytes"
-    ).mapInArrow(run, SCORED_SCHEMA).withColumn(
+        *base, *[c for c in carry if c not in base]
+    ).mapInArrow(run, out_schema).withColumn(
         "snr_pass", F.col("decode_ok") & (F.col("snr_db") >= F.lit(min_snr_db))
     )
 
