@@ -546,22 +546,6 @@ def score_record_batch(b):
         out_ok[i] = True
         out_srm[i] = sr == srs[i]
         groups.setdefault((sr, len(pcm)), []).append(i)
-        # silence profile on the int16 view, while it is hot in cache —
-        # the SNR pass below re-reads these samples through the float
-        # fill, so fusing here costs ~3 cheap int16/bool passes instead
-        # of a SECOND full scan of the payload bytes at 10^12 rows
-        if len(pcm) and sr > 0:
-            quiet = (pcm > -_SIL_I16) & (pcm < _SIL_I16)
-            out_sil[i] = quiet.mean()
-            if quiet.any():
-                starts, lens = _run_lengths(quiet)
-                ms = 1000.0 / sr
-                if starts[0] == 0:
-                    out_lead[i] = lens[0] * ms
-                if starts[-1] + lens[-1] == len(pcm):
-                    out_trail[i] = lens[-1] * ms
-                out_long[i] = lens.max() * ms
-                out_runs[i] = int((lens * ms >= _SIL_MIN_RUN_MS).sum())
     for (sr, ns), members in groups.items():
         if ns == 0:
             continue
@@ -594,6 +578,45 @@ def score_record_batch(b):
             snr = np.where(pn == 0.0, np.inf, snr)
             snr = np.where(ps == 0.0, -np.inf, snr)
             out_snr[chunk] = snr
+            # silence profile, fused over the SAME 2D block while P is hot —
+            # per-clip numpy calls would dominate on ~1k-sample clips (the
+            # arrays are tiny, so fixed op overhead wins; measured 2.2×
+            # kernel slowdown), whereas here every step is one whole-chunk
+            # op. P = i16/32768 is exact in float64, so |P| < 0.01 selects
+            # exactly the samples the standalone float-path operator
+            # selects (bit-for-bit equality gated in test_silence).
+            if sr > 0:
+                ci = np.asarray(chunk)
+                Q = (P > -0.01) & (P < 0.01)
+                out_sil[ci] = Q.sum(axis=1) / ns
+                # run decomposition of the whole chunk at once: pad each
+                # row with a False column on both sides, diff → +1 at run
+                # starts / -1 one past run ends, scatter-reduce per row
+                B = np.zeros((len(chunk), ns + 2), dtype=np.int8)
+                B[:, 1:-1] = Q
+                D = np.diff(B, axis=1).ravel()
+                sidx = np.flatnonzero(D == 1)
+                if sidx.size:
+                    eidx = np.flatnonzero(D == -1)
+                    width = ns + 1
+                    rows = sidx // width
+                    starts = sidx % width
+                    lens = (eidx % width) - starts
+                    ms = 1000.0 / sr
+                    lead = np.zeros(len(chunk))
+                    m = starts == 0
+                    lead[rows[m]] = lens[m]
+                    out_lead[ci] = lead * ms
+                    trail = np.zeros(len(chunk))
+                    m = starts + lens == ns
+                    trail[rows[m]] = lens[m]
+                    out_trail[ci] = trail * ms
+                    longest = np.zeros(len(chunk))
+                    np.maximum.at(longest, rows, lens)
+                    out_long[ci] = longest * ms
+                    nruns = np.zeros(len(chunk), dtype=np.int64)
+                    np.add.at(nruns, rows[lens * ms >= _SIL_MIN_RUN_MS], 1)
+                    out_runs[ci] = nruns
     tr = col["transcript"]
     t_null = pc.is_null(tr)
     t_empty = pc.fill_null(pc.equal(tr, ""), False)
