@@ -77,6 +77,8 @@ EXTRA = [
     "sketch_column_stats_clips",
     "silence_stats",
     "snapshot_drift_clips",
+    "clips_silence_stats",
+    "jpeg_feature_stats",
 ]
 
 
@@ -88,6 +90,7 @@ def _bench_only_queries() -> dict:
     from macrobase_spark.operators.dedup import simhash_candidates
     from macrobase_spark.operators.image import (
         image_feature_stats_pipeline,
+        jpeg_feature_stats_pipeline,
         png_feature_stats_pipeline,
         video_frame_stats_pipeline,
     )
@@ -164,6 +167,7 @@ def _bench_only_queries() -> dict:
         "image_feature_stats": image_feature_stats_pipeline,
         "video_frame_stats": video_frame_stats_pipeline,
         "png_feature_stats": png_feature_stats_pipeline,
+        "jpeg_feature_stats": jpeg_feature_stats_pipeline,
         "codec_snr_stats": _codec_snr,
     }
 

@@ -74,9 +74,9 @@ def decode_ppm(raw: bytes) -> np.ndarray | None:
 #
 # Non-interlaced 8-bit PNG (gray / RGB / RGBA) is fully decodable without
 # external libraries: chunk walk + zlib inflate + the five scanline
-# unfilters from the PNG spec (RFC 2083 §6). This upgrades one compressed
-# format from "honest stub" to real; jpeg/webp stay stubbed (DCT/VP8 need
-# codec libs).
+# unfilters from the PNG spec (RFC 2083 §6). Baseline JPEG is likewise real
+# (pure numpy, operators/jpeg.py); webp stays stubbed (VP8 needs codec
+# libs).
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -208,16 +208,24 @@ def decode_image(raw: bytes) -> np.ndarray | None:
         return decode_ppm(raw)
     if raw[:8] == PNG_MAGIC:
         return decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        from macrobase_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
     return None
 
 
 def decode_compressed_image(fmt: str, raw: bytes):
     """Compressed-image decode dispatch. PNG is REAL (pure stdlib,
-    `decode_png`); jpeg/webp need DCT/VP8 codec libraries the runtime
-    lacks, so they stay honestly stubbed (same contract as
-    audio.decode_compressed)."""
+    `decode_png`) and so is baseline JPEG (pure numpy, operators/jpeg.py);
+    webp needs a VP8 codec library the runtime lacks, so it stays honestly
+    stubbed (same contract as audio.decode_compressed)."""
     if fmt == "png":
         return decode_png(raw)
+    if fmt in ("jpeg", "jpg"):
+        from macrobase_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
     raise NotImplementedError(f"decode for image format {fmt!r} requires external libraries")
 
 
@@ -593,6 +601,73 @@ def png_feature_stats(spark, sf_dir: str) -> DataFrame:
     decode_ok=false via CRC/short-data checks) + channel/luma means.
     Aggregates the materialized feature relation the oracle also reads."""
     feats = spark.read.parquet(png_features_parquet(spark, sf_dir))
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("luma_mean"))), 4).alias("avg_luma"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("mean_r"))), 4).alias("avg_r"),
+    )
+
+
+def jpeg_features_parquet(spark, sf_dir: str) -> str:
+    """Materialize per-image features of the JPEG fixture (ONE decode pass
+    through the pure-numpy baseline JPEG codec) for the DuckDB oracle —
+    same recipe as png_features_parquet."""
+    import os
+
+    from macrobase_spark.sources.images import generate_jpeg_images
+
+    n = _images_n(sf_dir)
+    path = f"/tmp/mb_jpegfeat_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        imgs = generate_jpeg_images(spark, n)
+        (
+            image_features(imgs)
+            .join(imgs.select("image_id", "label"), "image_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def jpeg_feature_stats_pipeline(spark, sf_dir: str) -> DataFrame:
+    """Full synthesize → JPEG-encode → JPEG-decode → agg in one plan — the
+    BENCH entry, so the timed number includes huffman + IDCT."""
+    from macrobase_spark.sources.images import generate_jpeg_images
+
+    imgs = generate_jpeg_images(spark, _images_n(sf_dir))
+    feats = image_features(imgs).join(imgs.select("image_id", "label"), "image_id")
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("luma_mean"))), 4).alias("avg_luma"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("mean_r"))), 4).alias("avg_r"),
+    )
+
+
+_JPGF = "read_parquet('/tmp/mb_jpegfeat_v1_400.parquet/*.parquet')"
+
+
+@register(
+    "jpeg_feature_stats",
+    f"""
+    SELECT label,
+           count(*) AS n,
+           CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           round(avg(CASE WHEN decode_ok THEN luma_mean END), 4) AS avg_luma,
+           round(avg(CASE WHEN decode_ok THEN mean_r END), 4) AS avg_r
+    FROM {_JPGF}
+    GROUP BY label
+    """,
+)
+def jpeg_feature_stats(spark, sf_dir: str) -> DataFrame:
+    """Per-label profile of the JPEG fixture through the REAL pure-numpy
+    baseline JPEG decode (huffman entropy decode + dequant + vectorized
+    IDCT + YCbCr→RGB): decode rate (planted marker corruption and
+    mid-scan truncation both land as decode_ok=false) + channel/luma
+    means. Aggregates the materialized feature relation the oracle also
+    reads."""
+    feats = spark.read.parquet(jpeg_features_parquet(spark, sf_dir))
     return feats.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),

@@ -135,3 +135,42 @@ def generate_png_images(spark: SparkSession, n: int, partitions: int | None = No
 
     parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def generate_jpeg_images(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic JPEG table — exercises the pure-numpy baseline JPEG
+    codec (operators/jpeg.encode_jpeg/decode_jpeg) end-to-end. Every third
+    clean image carries restart markers so the decoder's RST path stays on
+    the tested path.
+
+    Planted violations (disjoint residues from the PPM/PNG fixtures'):
+    - corrupt payload    id % 103 == 23 (byte flipped in the marker stream)
+    - truncated payload  id % 137 == 31 (blob cut mid-scan)
+    """
+    from macrobase_spark.operators.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = SIZES[i % len(SIZES)]
+                rst = 4 if i % 3 == 0 else 0
+                raw = encode_jpeg(image_array(i, w, h), quality=90, restart_interval=rst)
+                if i % 103 == 23:  # corrupt: break the segment walk
+                    b = bytearray(raw)
+                    b[4] ^= 0xFF
+                    raw = bytes(b)
+                elif i % 137 == 31:  # truncated mid-entropy
+                    raw = raw[: len(raw) // 2]
+                rows.append(
+                    (f"jpg_{i:010d}", raw, w, h, "jpeg", LABELS[i % len(LABELS)])
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "width", "height", "fmt", "label"]
+            )
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
