@@ -35,10 +35,54 @@ def main() -> int:
     ap.add_argument("--manifest-dir", default="/tmp/mb_manifest")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--stream-dir",
+        default=None,
+        help="validate a parquet file-stream directory via Structured "
+        "Streaming micro-batches instead of one batch pass; resume is "
+        "automatic (Spark checkpoint offsets + per-batch manifest lineage)",
+    )
+    ap.add_argument("--checkpoint-dir", default="/tmp/mb_stream_ckpt")
+    ap.add_argument("--violations-dir", default=None)
     args = ap.parse_args()
 
     spark = get_spark("mb-validate", master=args.master)
     t0 = time.time()
+
+    if args.stream_dir:
+        from macrobase_spark.streaming.validate import validate_stream
+
+        schema = spark.read.parquet(args.stream_dir).schema
+        stream = spark.readStream.schema(schema).parquet(args.stream_dir)
+        q = validate_stream(
+            stream,
+            args.manifest_dir,
+            args.checkpoint_dir,
+            cfg=SuiteConfig(),
+            violations_sink=args.violations_dir,
+        )
+        # drain everything currently in the directory and exit (cron-style
+        # incremental validation); a long-running deployment replaces this
+        # with q.awaitTermination()
+        q.processAllAvailable()
+        q.stop()
+        man = RunManifest(args.manifest_dir).read(spark)
+        agg = man.agg(
+            F.sum("n_rows").alias("rows"), F.sum("n_violations").alias("viol")
+        ).collect()[0]
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "mode": "stream",
+                    "manifest_rows": man.count(),
+                    "rows": int(agg["rows"] or 0),
+                    "violations": int(agg["viol"] or 0),
+                    "wall_clock_sec": round(wall, 2),
+                }
+            )
+        )
+        return 0
     if args.table:
         from macrobase_spark.sources.table_source import load_table
 

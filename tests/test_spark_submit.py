@@ -57,3 +57,28 @@ def test_spark_submit_validate_and_resume(tmp_path):
     # resume: everything is already recorded in the manifest
     r2 = _submit(zpath, "--n", "3000", "--manifest-dir", mdir, "--master", "local[4]", "--resume")
     assert r2.get("status") == "nothing to do"
+
+
+def test_spark_submit_stream_mode(tmp_path, spark):
+    """--stream-dir drains a parquet file stream through the foreachBatch
+    runner under spark-submit; a second invocation with the same checkpoint
+    reprocesses nothing (offsets + manifest lineage)."""
+    from macrobase_spark.sources.clips import generate_clips
+
+    src = str(tmp_path / "clips_src")
+    generate_clips(spark, 2000).repartition(2).write.parquet(src)
+    zpath = _zip_engine(tmp_path)
+    mdir = str(tmp_path / "manifest")
+    common = [
+        "--stream-dir", src,
+        "--manifest-dir", mdir,
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--master", "local[4]",
+    ]
+    r1 = _submit(zpath, *common)
+    assert r1["mode"] == "stream"
+    assert r1["rows"] == 2000
+    assert r1["violations"] > 0
+    r2 = _submit(zpath, *common)
+    assert r2["rows"] == 2000  # unchanged — nothing reprocessed
+    assert r2["manifest_rows"] == r1["manifest_rows"]
