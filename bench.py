@@ -79,6 +79,8 @@ EXTRA = [
     "snapshot_drift_clips",
     "clips_silence_stats",
     "jpeg_feature_stats",
+    "clips_anomaly_scores",
+    "clips_windowed_rates",
 ]
 
 

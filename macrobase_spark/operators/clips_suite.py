@@ -87,6 +87,54 @@ def _manifest_df(spark, sf_dir: str):
 _S = "read_parquet('/tmp/mb_scored_v3_10000.parquet/*.parquet')"
 _M = "read_parquet('/tmp/mb_manifest_v1_10000.parquet/*.parquet')"
 
+# ---- vectorized anomaly scorer over the scored relation (north star:
+# "plus vectorized isolation-forest and LOF scorers in pandas/Arrow UDFs") --
+
+_ANOM_FEATURES = ["dur_ms", "payload_bytes", "snr_db", "silence_ratio"]
+
+
+def _anomaly_base(spark, sf_dir: str):
+    """Decoded clips with finite SNR, feature columns cast to double —
+    iforest is scale-free per split, so no normalization is needed."""
+    scored = _scored_df(spark, sf_dir)
+    base = scored.filter(
+        F.col("decode_ok")
+        & (F.col("snr_db") > float("-inf"))
+        & (F.col("snr_db") < float("inf"))
+    )
+    cols = [F.col(c).cast("double").alias(f"_f{i}") for i, c in enumerate(_ANOM_FEATURES)]
+    return base.select("clip_id", *cols)
+
+
+def clips_iforest_model_parquet(spark, sf_dir: str) -> str:
+    """Materialize the forest fitted on the scored relation's numeric
+    features as a flat node relation (same recipe as the embeddings
+    detectors) so the DuckDB descent oracle can replay the scoring."""
+    from macrobase_spark.operators.detectors import (
+        IFOREST_MODEL_SCHEMA,
+        _collect_sample,
+        fit_isolation_forest,
+    )
+
+    n = clips_n(sf_dir)
+    path = f"/tmp/mb_clips_iforest_model_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        df = _anomaly_base(spark, sf_dir)
+        feats = [f"_f{i}" for i in range(len(_ANOM_FEATURES))]
+        sample = _collect_sample(df, feats, 4096, 42)
+        m = fit_isolation_forest(sample, n_trees=100, subsample=256, seed=42)
+        roots = set(int(r) for r in m.roots)
+
+        rows = [
+            (i, int(m.feat[i]), float(m.thr[i]), int(m.left[i]), int(m.right[i]),
+             int(m.size[i]), int(m.depth[i]), i in roots, int(m.psi))
+            for i in range(len(m.feat))
+        ]
+        spark.createDataFrame(rows, IFOREST_MODEL_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
 # row-level violation set as SQL (mirrors checks.row_violations exactly):
 # uniqueness / null / empty transcript / referential orphan / snr-decode
 _VIOL_ROWS_SQL = f"""
@@ -390,3 +438,80 @@ def clips_audio_features_q(spark, sf_dir):
         F.round(F.avg("dominant_freq_hz"), 1).alias("avg_dom_freq"),
         F.round(F.avg("clipping_ratio"), 6).alias("avg_clip_ratio"),
     )
+
+
+# ---- registered anomaly query (uses the shared descent oracle) -------------
+
+_CIFM = "read_parquet('/tmp/mb_clips_iforest_model_v1_10000.parquet/*.parquet')"
+_ANOM_BASE_SQL = f"""SELECT clip_id,
+           [CAST(dur_ms AS DOUBLE), CAST(payload_bytes AS DOUBLE),
+            snr_db, silence_ratio] AS emb
+      FROM {_S}
+     WHERE decode_ok AND snr_db > '-infinity'::DOUBLE
+       AND snr_db < 'infinity'::DOUBLE"""
+
+
+def _clips_anomaly_oracle() -> str:
+    from macrobase_spark.operators.detectors import iforest_descent_oracle
+
+    return iforest_descent_oracle(_CIFM, _ANOM_BASE_SQL, "clip_id")
+
+
+@register("clips_anomaly_scores", _clips_anomaly_oracle())
+def clips_anomaly_scores(spark, sf_dir):
+    """North-star anomaly pass over the VALIDATION relation itself: the 20
+    most-isolated clips under an isolation forest fitted on
+    (dur_ms, payload_bytes, snr_db, silence_ratio) — vectorized Arrow
+    scoring via the broadcast materialized model, descent replayed exactly
+    by the DuckDB oracle (same recipe as iforest_outliers_embeddings)."""
+    from macrobase_spark.operators.detectors import (
+        iforest_score,
+        load_iforest_model,
+    )
+
+    model = load_iforest_model(spark, clips_iforest_model_parquet(spark, sf_dir))
+    df = _anomaly_base(spark, sf_dir)
+    feats = [f"_f{i}" for i in range(len(_ANOM_FEATURES))]
+    scored = iforest_score(df, feats, ["clip_id"], model=model)
+    return scored.orderBy(F.desc("_SCORE"), "clip_id").limit(20).select(
+        "clip_id", F.round("_SCORE", 4).alias("score")
+    )
+
+
+# ---- batch face of the streaming windowed violation rates ------------------
+
+_WINDOWED_RATES_SQL = f"""
+    WITH s AS (SELECT *, TIMESTAMP '2024-01-01 00:00:00'
+                    + INTERVAL (CAST(substring(clip_id, 6, 12) AS BIGINT) % 600) SECOND AS ts
+               FROM {_S})
+    SELECT time_bucket(INTERVAL '2 minutes', ts) AS ws,
+           time_bucket(INTERVAL '2 minutes', ts) + INTERVAL '2 minutes' AS we,
+           codec,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN NOT snr_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_snr_fail,
+           CAST(sum(CASE WHEN transcript_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null_transcript,
+           CAST(sum(CASE WHEN transcript_empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_transcript,
+           CAST(sum(CASE WHEN silence_ratio >= 0.99 AND decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_clips,
+           round((sum(CASE WHEN NOT snr_pass THEN 1 ELSE 0 END)
+                + sum(CASE WHEN transcript_null THEN 1 ELSE 0 END)
+                + sum(CASE WHEN transcript_empty THEN 1 ELSE 0 END))
+                / CAST(count(*) AS DOUBLE), 6) AS violation_rate
+    FROM s GROUP BY 1, 2, 3
+"""
+
+
+@register("clips_windowed_rates", _WINDOWED_RATES_SQL)
+def clips_windowed_rates(spark, sf_dir):
+    """The streaming suite's windowed per-codec violation-rate aggregate
+    (streaming/validate.py::windowed_violation_rates) run in the batch
+    plane over the scored relation with a deterministic event time —
+    oracle-certifying the exact aggregate the stream twin emits
+    (stream==batch equivalence is separately gated in
+    test_streaming_validate)."""
+    from macrobase_spark.streaming.validate import windowed_violation_rates
+
+    scored = _scored_df(spark, sf_dir)
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(
+        secs=F.substring("clip_id", 6, 12).cast("long") % 600
+    )
+    return windowed_violation_rates(scored.withColumn("ts", ts), "ts", "2 minutes")

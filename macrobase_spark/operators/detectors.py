@@ -572,64 +572,51 @@ def load_iforest_model(spark, path: str) -> IForest:
     )
 
 
+def iforest_descent_oracle(
+    model_rel: str, base_sql: str, id_col: str, k: int = 20
+) -> str:
+    """The unrolled-descent DuckDB oracle over a materialized forest,
+    parameterized by the input relation: `base_sql` must yield
+    (`id_col`, emb LIST<DOUBLE>). 8 leaf-stay-put steps cover
+    max_depth = log2(psi=256); shared by the embeddings query and the
+    clips-suite anomaly query."""
+    steps = []
+    prev = "s0"
+    for si in range(1, 9):
+        steps.append(
+            f"""s{si} AS (SELECT p.{id_col}, p.emb, p.root,
+                CASE WHEN n.feat < 0 THEN p.node
+                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
+                     ELSE n.rc END AS node
+         FROM {prev} p JOIN nodes n ON n.node = p.node)"""
+        )
+        prev = f"s{si}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH nodes AS (SELECT * FROM {model_rel}),
+    base AS ({base_sql}),
+    s0 AS (SELECT b.{id_col}, b.emb, n.node AS root, n.node
+           FROM base b CROSS JOIN (SELECT node FROM nodes WHERE root) n),
+    {chain},
+    leaf AS (SELECT p.{id_col}, n.depth, n.size FROM s8 p
+             JOIN nodes n ON n.node = p.node),
+    pl AS (SELECT {id_col},
+                  avg(depth + CASE WHEN CAST(size AS DOUBLE) > 2 THEN 2.0 * (ln(CAST(size AS DOUBLE) - 1.0) + 0.5772156649015329) - 2.0 * (CAST(size AS DOUBLE) - 1.0) / CAST(size AS DOUBLE) WHEN CAST(size AS DOUBLE) = 2 THEN 1.0 ELSE 0.0 END) AS avg_path
+           FROM leaf GROUP BY {id_col}),
+    cpsi AS (SELECT greatest(CASE WHEN psi > 2 THEN 2.0 * (ln(psi - 1.0) + 0.5772156649015329) - 2.0 * (psi - 1.0) / psi WHEN psi = 2 THEN 1.0 ELSE 0.0 END, 1e-12) AS c
+             FROM (SELECT CAST(any_value(psi) AS DOUBLE) AS psi FROM nodes)),
+    sc AS (SELECT {id_col}, power(2.0, -avg_path / c) AS s FROM pl, cpsi),
+    rk AS (SELECT {id_col}, s FROM sc ORDER BY s DESC, {id_col} LIMIT {k})
+    SELECT {id_col}, round(s, 4) AS score FROM rk
+"""
+
+
 # correctness gate runs at sf0.01 -> 500 embedding rows; oracle fixed there
 _IFM = "read_parquet('/tmp/mb_iforest_model_v1_500.parquet/*.parquet')"
 
-_IFOREST_ORACLE = f"""
-    WITH nodes AS (SELECT * FROM {_IFM}),
-    s0 AS (SELECT e.vec_id, e.embedding AS emb, n.node AS root, n.node
-           FROM embeddings e CROSS JOIN (SELECT node FROM nodes WHERE root) n),
-    s1 AS (SELECT p.vec_id, p.emb, p.root,
-                CASE WHEN n.feat < 0 THEN p.node
-                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
-                     ELSE n.rc END AS node
-         FROM s0 p JOIN nodes n ON n.node = p.node),
-    s2 AS (SELECT p.vec_id, p.emb, p.root,
-                CASE WHEN n.feat < 0 THEN p.node
-                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
-                     ELSE n.rc END AS node
-         FROM s1 p JOIN nodes n ON n.node = p.node),
-    s3 AS (SELECT p.vec_id, p.emb, p.root,
-                CASE WHEN n.feat < 0 THEN p.node
-                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
-                     ELSE n.rc END AS node
-         FROM s2 p JOIN nodes n ON n.node = p.node),
-    s4 AS (SELECT p.vec_id, p.emb, p.root,
-                CASE WHEN n.feat < 0 THEN p.node
-                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
-                     ELSE n.rc END AS node
-         FROM s3 p JOIN nodes n ON n.node = p.node),
-    s5 AS (SELECT p.vec_id, p.emb, p.root,
-                CASE WHEN n.feat < 0 THEN p.node
-                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
-                     ELSE n.rc END AS node
-         FROM s4 p JOIN nodes n ON n.node = p.node),
-    s6 AS (SELECT p.vec_id, p.emb, p.root,
-                CASE WHEN n.feat < 0 THEN p.node
-                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
-                     ELSE n.rc END AS node
-         FROM s5 p JOIN nodes n ON n.node = p.node),
-    s7 AS (SELECT p.vec_id, p.emb, p.root,
-                CASE WHEN n.feat < 0 THEN p.node
-                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
-                     ELSE n.rc END AS node
-         FROM s6 p JOIN nodes n ON n.node = p.node),
-    s8 AS (SELECT p.vec_id, p.emb, p.root,
-                CASE WHEN n.feat < 0 THEN p.node
-                     WHEN CAST(p.emb[n.feat + 1] AS DOUBLE) <= n.thr THEN n.lc
-                     ELSE n.rc END AS node
-         FROM s7 p JOIN nodes n ON n.node = p.node),
-    leaf AS (SELECT p.vec_id, n.depth, n.size FROM s8 p
-             JOIN nodes n ON n.node = p.node),
-    pl AS (SELECT vec_id,
-                  avg(depth + CASE WHEN CAST(size AS DOUBLE) > 2 THEN 2.0 * (ln(CAST(size AS DOUBLE) - 1.0) + 0.5772156649015329) - 2.0 * (CAST(size AS DOUBLE) - 1.0) / CAST(size AS DOUBLE) WHEN CAST(size AS DOUBLE) = 2 THEN 1.0 ELSE 0.0 END) AS avg_path
-           FROM leaf GROUP BY vec_id),
-    cpsi AS (SELECT greatest(CASE WHEN psi > 2 THEN 2.0 * (ln(psi - 1.0) + 0.5772156649015329) - 2.0 * (psi - 1.0) / psi WHEN psi = 2 THEN 1.0 ELSE 0.0 END, 1e-12) AS c
-             FROM (SELECT CAST(any_value(psi) AS DOUBLE) AS psi FROM nodes)),
-    sc AS (SELECT vec_id, power(2.0, -avg_path / c) AS s FROM pl, cpsi),
-    rk AS (SELECT vec_id, s FROM sc ORDER BY s DESC, vec_id LIMIT 20)
-    SELECT vec_id, round(s, 4) AS score FROM rk
-"""
+_IFOREST_ORACLE = iforest_descent_oracle(
+    _IFM, "SELECT vec_id, embedding AS emb FROM embeddings", "vec_id"
+)
 
 
 @register("iforest_outliers_embeddings", _IFOREST_ORACLE)
