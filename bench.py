@@ -81,6 +81,7 @@ EXTRA = [
     "jpeg_feature_stats",
     "clips_anomaly_scores",
     "clips_windowed_rates",
+    "clips_lof_scores",
 ]
 
 

@@ -515,3 +515,99 @@ def clips_windowed_rates(spark, sf_dir):
         secs=F.substring("clip_id", 6, 12).cast("long") % 600
     )
     return windowed_violation_rates(scored.withColumn("ts", ts), "ts", "2 minutes")
+
+
+# ---- LOF twin of the anomaly pass (north star names both scorers) ----------
+
+_CLOFM = "read_parquet('/tmp/mb_clips_lof_model_v1_10000.parquet/*.parquet')"
+
+
+def clips_lof_model_parquet(spark, sf_dir: str) -> str:
+    """Materialize the fitted LOF sample over STANDARDIZED features —
+    (sid, feat[4], kdist, lrd) plus the (mu, sd) used, denormalized onto
+    every row — so the oracle can standardize the clips identically and
+    replay the k-NN reach-distance scoring. Standardization matters here
+    (unlike iforest): LOF is distance-based and dur_ms would otherwise
+    drown snr_db/silence_ratio."""
+    from macrobase_spark.operators.detectors import _collect_sample, fit_lof
+
+    import numpy as np
+
+    n = clips_n(sf_dir)
+    path = f"/tmp/mb_clips_lof_model_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        df = _anomaly_base(spark, sf_dir)
+        feats = [f"_f{i}" for i in range(len(_ANOM_FEATURES))]
+        stats = df.agg(
+            *[F.avg(c).alias(f"mu{i}") for i, c in enumerate(feats)],
+            *[F.stddev_pop(c).alias(f"sd{i}") for i, c in enumerate(feats)],
+        ).collect()[0]
+        mu = [float(stats[f"mu{i}"]) for i in range(len(feats))]
+        sd = [max(float(stats[f"sd{i}"]), 1e-9) for i in range(len(feats))]
+        sample = _collect_sample(df, feats, 4096, 42)
+        xs = (sample - np.array(mu)) / np.array(sd)
+        m = fit_lof(xs, k=20, seed=42, max_sample=4096)
+        rows = [
+            (i, [float(v) for v in m.S[i]], float(m.kdist[i]), float(m.lrd[i]), mu, sd)
+            for i in range(m.S.shape[0])
+        ]
+        spark.createDataFrame(
+            rows,
+            "sid long, feat array<double>, kdist double, lrd double, "
+            "mu array<double>, sd array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+_CLIPS_LOF_ORACLE = f"""
+    WITH s AS (SELECT * FROM {_CLOFM}),
+    st AS (SELECT any_value(mu) AS mu, any_value(sd) AS sd FROM s),
+    base AS (SELECT clip_id,
+                    [(CAST(dur_ms AS DOUBLE) - st.mu[1]) / st.sd[1],
+                     (CAST(payload_bytes AS DOUBLE) - st.mu[2]) / st.sd[2],
+                     (snr_db - st.mu[3]) / st.sd[3],
+                     (silence_ratio - st.mu[4]) / st.sd[4]] AS emb
+               FROM {_S}, st
+              WHERE decode_ok AND snr_db > '-infinity'::DOUBLE
+                AND snr_db < 'infinity'::DOUBLE),
+    d AS (SELECT b.clip_id, s.sid, s.kdist, s.lrd,
+                 sqrt(pow(b.emb[1] - s.feat[1], 2) + pow(b.emb[2] - s.feat[2], 2)
+                    + pow(b.emb[3] - s.feat[3], 2) + pow(b.emb[4] - s.feat[4], 2)) AS dist
+          FROM base b CROSS JOIN s),
+    nn AS (SELECT *, row_number() OVER (PARTITION BY clip_id
+                                        ORDER BY dist, sid) AS rn FROM d),
+    kn AS (SELECT * FROM nn WHERE rn <= 20),
+    agg AS (SELECT clip_id,
+                   sum(greatest(dist, kdist)) AS reach_sum,
+                   avg(lrd) AS lrd_nn
+            FROM kn GROUP BY clip_id),
+    sc AS (SELECT clip_id,
+                  lrd_nn / greatest(20.0 / greatest(reach_sum, 1e-300), 1e-300) AS s
+           FROM agg),
+    rk AS (SELECT clip_id, s FROM sc ORDER BY s DESC, clip_id LIMIT 20)
+    SELECT clip_id, round(s, 4) AS score FROM rk
+"""
+
+
+@register("clips_lof_scores", _CLIPS_LOF_ORACLE)
+def clips_lof_scores(spark, sf_dir):
+    """The 20 largest LOF scores over the validation relation's
+    standardized numeric features, scored in Arrow batches against the
+    broadcast materialized sample; the oracle standardizes with the SAME
+    stored (mu, sd) and replays the k-NN reach-distance math in SQL."""
+    from macrobase_spark.operators.detectors import load_lof_model, lof_score
+
+    path = clips_lof_model_parquet(spark, sf_dir)
+    model = load_lof_model(spark, path)
+    row = spark.read.parquet(path).limit(1).collect()[0]
+    mu, sd = list(row["mu"]), list(row["sd"])
+    df = _anomaly_base(spark, sf_dir)
+    feats = [f"_f{i}" for i in range(len(_ANOM_FEATURES))]
+    std = df.select(
+        "clip_id",
+        *[((F.col(c) - F.lit(mu[i])) / F.lit(sd[i])).alias(c) for i, c in enumerate(feats)],
+    )
+    scored = lof_score(std, feats, ["clip_id"], model=model)
+    return scored.orderBy(F.desc("_SCORE"), "clip_id").limit(20).select(
+        "clip_id", F.round("_SCORE", 4).alias("score")
+    )
