@@ -107,3 +107,53 @@ def test_fixture_planted_recovery(spark):
         assert r["decode_ok"] == want_ok, (i, r["decode_ok"])
         if want_ok:
             assert r["width"] > 0 and 0.0 <= r["luma_mean"] <= 255.0
+
+
+# ---- property-based gates (no Spark; pure numpy) ---------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=60, max_value=98),
+    rst=st.sampled_from([0, 0, 2, 5]),
+)
+def test_roundtrip_total_function(h, w, seed, quality, rst):
+    """Arbitrary sizes (incl. sub-8x8), content, quality, and restart
+    intervals: encode→decode always succeeds with the declared shape and
+    a sane error bound (lossy floor scales with quality)."""
+    rng = np.random.default_rng(seed)
+    # smooth-ish content: random low-frequency mix (pure noise has no
+    # meaningful PSNR bound at low quality)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        a, b, p = rng.uniform(0, 2 * np.pi, 3)
+        img[..., c] = 127 + 100 * np.sin(x * 0.2 + a) * np.cos(y * 0.15 + b) + 20 * np.sin(p)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=quality, restart_interval=rst))
+    assert out is not None and out.shape == (h, w, 3)
+    assert _psnr(img, out) >= 28.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cut=st.floats(min_value=0.01, max_value=0.99),
+    flip_at=st.integers(min_value=2, max_value=10_000),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+def test_decode_is_total_on_mutations(cut, flip_at, seed):
+    """decode_jpeg never raises on truncated or bit-flipped input — it
+    returns an image or None (the scan kernels rely on this contract)."""
+    img = _gradient(24, 32, seed=seed % 7)
+    raw = encode_jpeg(img, 85, restart_interval=3 if seed % 2 else 0)
+    trunc = raw[: max(2, int(len(raw) * cut))]
+    decode_jpeg(trunc)  # must not raise
+    b = bytearray(raw)
+    b[flip_at % len(b)] ^= 0xFF
+    decode_jpeg(bytes(b))  # must not raise
