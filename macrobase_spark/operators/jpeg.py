@@ -461,7 +461,10 @@ def _decode_jpeg(raw: bytes) -> np.ndarray | None:
             scan = []
             for s in range(ns):
                 cid, tt = payload[1 + 2 * s : 3 + 2 * s]
-                comp = next(c for c in comps if c["id"] == cid)
+                matching = [c for c in comps if c["id"] == cid]
+                if not matching:
+                    raise ValueError("SOS references a component id absent from SOF")
+                comp = matching[0]
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 0xF})
             intervals, i = _split_entropy(raw, i + 2 + ln)
             continue
