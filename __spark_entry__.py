@@ -39,6 +39,8 @@ import macrobase_spark.operators.rrcf  # noqa: E402,F401
 import macrobase_spark.operators.subspace_explainers  # noqa: E402,F401
 import macrobase_spark.operators.transcript  # noqa: E402,F401
 import macrobase_spark.operators.drift  # noqa: E402,F401
+import macrobase_spark.operators.constraints  # noqa: E402,F401
+import macrobase_spark.plans.metrics_repo  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

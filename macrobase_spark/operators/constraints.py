@@ -1,0 +1,380 @@
+"""Declarative constraint suite — the validation engine's user-facing API.
+
+A `Check` is a fluent builder of declarative data-quality constraints
+(completeness, uniqueness, ranges, set containment, predicate-satisfaction
+ratios, regex ratios, quantile bounds) and `verify()` compiles EVERY scalar
+constraint across every check into ONE `df.agg(...)` pass: one scan of the
+table, partial (map-side) + final hash aggregation, no matter how many
+constraints the suite declares. The driver ever holds exactly one row of
+scalar metrics; results come back as a small DataFrame of
+(check, level, constraint, column, metric, value, status) rows that can be
+unioned into the violation stream or appended to the run manifest.
+
+This is the declarative face of the same engine `checks.run_suite` drives
+imperatively: the reference expresses checks as SQL-over-classifier
+pipelines (`sql/.../QueryEngine.java:283-291` fixed clause order;
+classify-then-explain in `BasicBatchPipeline.java`), while a web-scale
+validation tier wants Deequ-style declared expectations whose evaluation
+plan is a single aggregation job. Both reduce to the same physical shape:
+conditional aggregates over one scan.
+
+Scale notes (the 10^12-row contract):
+- every metric is a partial-aggregable expression (`count`, `sum`,
+  `min/max`, `avg(CASE WHEN ...)`) — map-side combine absorbs hot keys and
+  the shuffle carries ~one row per constraint, not per data row;
+- `is_unique`/`has_distinctness` default to EXACT `count_distinct`, which
+  Catalyst plans via Expand (scan multiplied by #distinct aggregates).
+  That is the right trade at test scale and for oracle parity; at cluster
+  scale pass `approx=True` to swap in the HLL sketch (single-pass,
+  mergeable, no Expand) — same constraint, cheaper plan;
+- `has_quantile` defaults to the exact `percentile` aggregate (matches
+  DuckDB `quantile_cont`, R-7); pass `approx=True` for the KLL/t-digest
+  style `percentile_approx` at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("check", StringType()),
+        StructField("level", StringType()),
+        StructField("constraint", StringType()),
+        StructField("column", StringType()),
+        StructField("metric", StringType()),
+        StructField("value", DoubleType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+@dataclass
+class _Constraint:
+    """One declared constraint: the aggregate expressions it needs (unique
+    aliases) and the [lo, hi] bound its headline metric must fall in."""
+
+    name: str
+    column: str
+    metric: str
+    agg: Column
+    alias: str
+    lo: float | None = None
+    hi: float | None = None
+
+    def evaluate(self, row) -> tuple[float | None, bool]:
+        v = row[self.alias]
+        v = float(v) if v is not None else None
+        if v is None:
+            return None, False
+        ok = (self.lo is None or v >= self.lo - 1e-12) and (
+            self.hi is None or v <= self.hi + 1e-12
+        )
+        return v, ok
+
+
+@dataclass
+class Check:
+    """Fluent builder: `Check("clips").is_complete("clip_id").is_unique(
+    "clip_id").has_min("dur_ms", 1).is_contained_in("codec", [...])`."""
+
+    name: str
+    level: str = "error"
+    constraints: list[_Constraint] = field(default_factory=list)
+    _n: int = 0
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _add(self, name, column, metric, agg, lo=None, hi=None) -> "Check":
+        alias = f"__c{len(self.constraints)}_{self.name}"
+        self.constraints.append(
+            _Constraint(name, column, metric, agg.alias(alias), alias, lo, hi)
+        )
+        return self
+
+    # -- size / completeness ------------------------------------------------
+
+    def has_size(self, min_rows: float | None = None, max_rows: float | None = None):
+        return self._add(
+            "has_size", "*", "n_rows", F.count(F.lit(1)).cast("double"), min_rows, max_rows
+        )
+
+    def is_complete(self, column: str):
+        """No NULLs in `column` (completeness ratio == 1)."""
+        return self.has_completeness(column, 1.0)
+
+    def has_completeness(self, column: str, min_ratio: float):
+        return self._add(
+            "has_completeness",
+            column,
+            "completeness",
+            F.avg(F.col(column).isNotNull().cast("double")),
+            min_ratio,
+            None,
+        )
+
+    def are_complete(self, columns: list[str]):
+        for c in columns:
+            self.is_complete(c)
+        return self
+
+    # -- uniqueness ----------------------------------------------------------
+
+    def is_unique(self, column: str, approx: bool = False):
+        """Every non-null value distinct (distinct/count == 1)."""
+        return self.has_distinctness(column, 1.0, approx=approx)
+
+    def has_distinctness(self, column: str, min_ratio: float, approx: bool = False):
+        """distinct(non-null values) / count(non-null values).
+
+        approx=True swaps exact count_distinct (Expand plan) for the HLL
+        sketch — single-pass and mergeable, the 10^12-row variant."""
+        distinct = (
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col(column).cast("string")))
+            if approx
+            else F.count_distinct(F.col(column))
+        )
+        ratio = distinct.cast("double") / F.count(F.col(column)).cast("double")
+        return self._add(
+            "has_distinctness", column, "distinctness", ratio, min_ratio, None
+        )
+
+    # -- numeric ranges -------------------------------------------------------
+
+    def has_min(self, column: str, at_least: float | None = None, at_most: float | None = None):
+        return self._add(
+            "has_min", column, "min", F.min(F.col(column).cast("double")), at_least, at_most
+        )
+
+    def has_max(self, column: str, at_least: float | None = None, at_most: float | None = None):
+        return self._add(
+            "has_max", column, "max", F.max(F.col(column).cast("double")), at_least, at_most
+        )
+
+    def has_mean(self, column: str, at_least: float | None = None, at_most: float | None = None):
+        return self._add(
+            "has_mean", column, "mean", F.avg(F.col(column).cast("double")), at_least, at_most
+        )
+
+    def has_sum(self, column: str, at_least: float | None = None, at_most: float | None = None):
+        return self._add(
+            "has_sum", column, "sum", F.sum(F.col(column).cast("double")), at_least, at_most
+        )
+
+    def has_stddev(self, column: str, at_least=None, at_most=None):
+        return self._add(
+            "has_stddev",
+            column,
+            "stddev",
+            F.stddev_samp(F.col(column).cast("double")),
+            at_least,
+            at_most,
+        )
+
+    def has_quantile(
+        self,
+        column: str,
+        q: float,
+        at_least: float | None = None,
+        at_most: float | None = None,
+        approx: bool = False,
+    ):
+        """Exact `percentile` by default (== DuckDB quantile_cont, R-7);
+        approx=True uses percentile_approx for the cluster-scale plan."""
+        agg = (
+            F.percentile_approx(F.col(column).cast("double"), q)
+            if approx
+            else F.percentile(F.col(column).cast("double"), q)
+        )
+        return self._add(
+            "has_quantile", column, f"p{int(round(q * 100))}", agg, at_least, at_most
+        )
+
+    # -- predicates -----------------------------------------------------------
+
+    def satisfies(self, condition: str, name: str, min_ratio: float = 1.0):
+        """Ratio of rows where the SQL `condition` holds (NULL counts as
+        not-satisfied, like Deequ's compliance metric)."""
+        sat = F.coalesce(F.expr(condition).cast("double"), F.lit(0.0))
+        return self._add(f"satisfies:{name}", "*", "compliance", F.avg(sat), min_ratio, None)
+
+    def is_non_negative(self, column: str, min_ratio: float = 1.0):
+        return self.satisfies(f"{column} >= 0", f"{column}_non_negative", min_ratio)
+
+    def is_positive(self, column: str, min_ratio: float = 1.0):
+        return self.satisfies(f"{column} > 0", f"{column}_positive", min_ratio)
+
+    def is_contained_in(self, column: str, allowed: list, min_ratio: float = 1.0):
+        vals = ", ".join(
+            "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+            for v in allowed
+        )
+        return self.satisfies(f"{column} IN ({vals})", f"{column}_contained", min_ratio)
+
+    def has_pattern(self, column: str, regex: str, min_ratio: float = 1.0):
+        sat = F.coalesce(F.col(column).rlike(regex).cast("double"), F.lit(0.0))
+        return self._add(
+            f"has_pattern:{column}", column, "pattern_ratio", F.avg(sat), min_ratio, None
+        )
+
+
+def verify(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run every check in ONE aggregation pass over `df`.
+
+    Returns the constraint-results relation (RESULT_SCHEMA): one row per
+    declared constraint, `value` rounded to 6 decimals (the engine-wide
+    oracle convention), `status` in {'pass', 'fail'}. The single collect()
+    is one row of scalars — driver state is O(#constraints), never O(rows).
+    """
+    aggs = [c.agg for ch in checks for c in ch.constraints]
+    if not aggs:
+        return df.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for ch in checks:
+        for c in ch.constraints:
+            v, ok = c.evaluate(row)
+            out.append(
+                (
+                    ch.name,
+                    ch.level,
+                    c.name,
+                    c.column,
+                    c.metric,
+                    round(v, 6) if v is not None else None,
+                    "pass" if ok else "fail",
+                )
+            )
+    return df.sparkSession.createDataFrame(out, RESULT_SCHEMA)
+
+
+def clips_checks() -> list[Check]:
+    """The declared expectation suite for the clips table's scored relation
+    — the same invariants `checks.run_suite` computes imperatively,
+    expressed as user-facing declarative constraints."""
+    return [
+        Check("schema", "error")
+        .has_size(min_rows=1000)
+        .is_complete("clip_id")
+        .is_complete("codec")
+        .is_complete("sr_hz")
+        .is_complete("dur_ms")
+        .has_pattern("clip_id", "^clip_[0-9]{12}$"),
+        Check("keys", "error").is_unique("clip_id"),
+        Check("content", "warning")
+        .satisfies("decode_ok", "decode_ok", 0.995)
+        .satisfies("snr_db >= 30.0", "snr_pass", 0.99)
+        .satisfies(
+            "NOT transcript_null AND NOT transcript_empty", "transcript_present", 0.995
+        )
+        .has_min("dur_ms", at_least=1)
+        .has_max("dur_ms", at_most=60000)
+        .has_quantile("dur_ms", 0.5, at_most=10000)
+        .is_contained_in("codec", ["opus", "mp3", "flac", "aac", "pcm_s16le"]),
+    ]
+
+
+# The DuckDB oracle replays every constraint as a scalar aggregate over the
+# SAME scored parquet (engine-wide oracle recipe, clips_suite.py) — one
+# UNION ALL row per constraint, value rounded to 6, the same 1e-12 bound
+# epsilon the evaluator applies.
+_S = "read_parquet('/tmp/mb_scored_v3_10000.parquet/*.parquet')"
+
+_CONSTRAINT_ORACLE = f"""
+WITH s AS (SELECT * FROM {_S}),
+m AS (
+  SELECT 'schema' AS "check", 'error' AS level, 'has_size' AS "constraint",
+         '*' AS "column", 'n_rows' AS metric,
+         CAST(count(*) AS DOUBLE) AS v, 1000.0 AS lo, NULL::DOUBLE AS hi FROM s
+  UNION ALL
+  SELECT 'schema', 'error', 'has_completeness', 'clip_id', 'completeness',
+         avg(CASE WHEN clip_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 1.0, NULL FROM s
+  UNION ALL
+  SELECT 'schema', 'error', 'has_completeness', 'codec', 'completeness',
+         avg(CASE WHEN codec IS NOT NULL THEN 1.0 ELSE 0.0 END), 1.0, NULL FROM s
+  UNION ALL
+  SELECT 'schema', 'error', 'has_completeness', 'sr_hz', 'completeness',
+         avg(CASE WHEN sr_hz IS NOT NULL THEN 1.0 ELSE 0.0 END), 1.0, NULL FROM s
+  UNION ALL
+  SELECT 'schema', 'error', 'has_completeness', 'dur_ms', 'completeness',
+         avg(CASE WHEN dur_ms IS NOT NULL THEN 1.0 ELSE 0.0 END), 1.0, NULL FROM s
+  UNION ALL
+  SELECT 'schema', 'error', 'has_pattern:clip_id', 'clip_id', 'pattern_ratio',
+         avg(CASE WHEN regexp_matches(clip_id, '^clip_[0-9]{{12}}$')
+             THEN 1.0 ELSE 0.0 END), 1.0, NULL FROM s
+  UNION ALL
+  SELECT 'keys', 'error', 'has_distinctness', 'clip_id', 'distinctness',
+         CAST(count(DISTINCT clip_id) AS DOUBLE) / count(clip_id), 1.0, NULL FROM s
+  UNION ALL
+  SELECT 'content', 'warning', 'satisfies:decode_ok', '*', 'compliance',
+         avg(CASE WHEN decode_ok THEN 1.0 ELSE 0.0 END), 0.995, NULL FROM s
+  UNION ALL
+  SELECT 'content', 'warning', 'satisfies:snr_pass', '*', 'compliance',
+         avg(CASE WHEN snr_db >= 30.0 THEN 1.0 ELSE 0.0 END), 0.99, NULL FROM s
+  UNION ALL
+  SELECT 'content', 'warning', 'satisfies:transcript_present', '*', 'compliance',
+         avg(CASE WHEN NOT transcript_null AND NOT transcript_empty
+             THEN 1.0 ELSE 0.0 END), 0.995, NULL FROM s
+  UNION ALL
+  SELECT 'content', 'warning', 'has_min', 'dur_ms', 'min',
+         min(CAST(dur_ms AS DOUBLE)), 1.0, NULL FROM s
+  UNION ALL
+  SELECT 'content', 'warning', 'has_max', 'dur_ms', 'max',
+         max(CAST(dur_ms AS DOUBLE)), NULL, 60000.0 FROM s
+  UNION ALL
+  SELECT 'content', 'warning', 'has_quantile', 'dur_ms', 'p50',
+         quantile_cont(CAST(dur_ms AS DOUBLE), 0.5), NULL, 10000.0 FROM s
+  UNION ALL
+  SELECT 'content', 'warning', 'satisfies:codec_contained', '*', 'compliance',
+         avg(CASE WHEN codec IN ('opus', 'mp3', 'flac', 'aac', 'pcm_s16le')
+             THEN 1.0 ELSE 0.0 END), 1.0, NULL FROM s
+)
+SELECT "check", level, "constraint", "column", metric,
+       round(v, 6) AS value,
+       CASE WHEN (lo IS NULL OR v >= lo - 1e-12)
+             AND (hi IS NULL OR v <= hi + 1e-12)
+            THEN 'pass' ELSE 'fail' END AS status
+FROM m
+"""
+
+
+def _register_clips_query() -> None:
+    from macrobase_spark.queries import register
+
+    @register("clips_constraint_suite", _CONSTRAINT_ORACLE)
+    def clips_constraint_suite(spark, sf_dir):
+        """Declarative check suite over the scored clips relation: every
+        constraint compiled into ONE aggregation pass (plus Catalyst's
+        Expand for the exact-uniqueness distinct)."""
+        from macrobase_spark.operators.clips_suite import scored_parquet
+
+        scored = spark.read.parquet(scored_parquet(spark, sf_dir))
+        return verify(scored, clips_checks())
+
+
+_register_clips_query()
+
+
+def suite_status(results: DataFrame) -> DataFrame:
+    """Per-check verdict: a check passes iff none of its error-level
+    constraints failed (warning-level failures degrade to 'warning')."""
+    fail = F.col("status") == "fail"
+    return results.groupBy("check").agg(
+        F.count(F.lit(1)).alias("n_constraints"),
+        F.sum(fail.cast("long")).alias("n_failed"),
+        F.when(
+            F.sum((fail & (F.col("level") == "error")).cast("long")) > 0, F.lit("fail")
+        )
+        .when(F.sum(fail.cast("long")) > 0, F.lit("warning"))
+        .otherwise(F.lit("pass"))
+        .alias("verdict"),
+    )
