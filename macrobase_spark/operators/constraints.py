@@ -5,10 +5,13 @@ A `Check` is a fluent builder of declarative data-quality constraints
 ratios, regex ratios, quantile bounds) and `verify()` compiles EVERY scalar
 constraint across every check into ONE `df.agg(...)` pass: one scan of the
 table, partial (map-side) + final hash aggregation, no matter how many
-constraints the suite declares. The driver ever holds exactly one row of
-scalar metrics; results come back as a small DataFrame of
-(check, level, constraint, column, metric, value, status) rows that can be
-unioned into the violation stream or appended to the run manifest.
+constraints the suite declares. Evaluation is itself declarative (bound
+comparisons and result rows are column expressions over the aggregate
+row — nothing is collected to the driver); results come back as a small
+DataFrame of (check, level, constraint, column, metric, value, status)
+rows that can be unioned into the violation stream or appended to the run
+manifest, and `group_by=` evaluates the same suite per partition — the
+north rule's per-partition pass/fail verdicts as one grouped aggregation.
 
 This is the declarative face of the same engine `checks.run_suite` drives
 imperatively: the reference expresses checks as SQL-over-classifier
@@ -71,15 +74,30 @@ class _Constraint:
     lo: float | None = None
     hi: float | None = None
 
-    def evaluate(self, row) -> tuple[float | None, bool]:
-        v = row[self.alias]
-        v = float(v) if v is not None else None
-        if v is None:
-            return None, False
-        ok = (self.lo is None or v >= self.lo - 1e-12) and (
-            self.hi is None or v <= self.hi + 1e-12
+    def result_struct(self, check: "Check") -> Column:
+        """The (check, level, constraint, column, metric, value, status)
+        struct as a pure column expression over this constraint's aggregate
+        alias — evaluation stays JVM-side, nothing is collected."""
+        v = F.col(self.alias).cast("double")
+        ok = F.lit(True)
+        if self.lo is not None:
+            ok = ok & (v >= F.lit(self.lo - 1e-12))
+        if self.hi is not None:
+            ok = ok & (v <= F.lit(self.hi + 1e-12))
+        status = (
+            F.when(v.isNull(), F.lit("fail"))
+            .when(ok, F.lit("pass"))
+            .otherwise(F.lit("fail"))
         )
-        return v, ok
+        return F.struct(
+            F.lit(check.name).alias("check"),
+            F.lit(check.level).alias("level"),
+            F.lit(self.name).alias("constraint"),
+            F.lit(self.column).alias("column"),
+            F.lit(self.metric).alias("metric"),
+            F.round(v, 6).alias("value"),
+            status.alias("status"),
+        )
 
 
 @dataclass
@@ -227,34 +245,35 @@ class Check:
         )
 
 
-def verify(df: DataFrame, checks: list[Check]) -> DataFrame:
+def verify(
+    df: DataFrame, checks: list[Check], group_by: list[str] | None = None
+) -> DataFrame:
     """Run every check in ONE aggregation pass over `df`.
 
     Returns the constraint-results relation (RESULT_SCHEMA): one row per
     declared constraint, `value` rounded to 6 decimals (the engine-wide
-    oracle convention), `status` in {'pass', 'fail'}. The single collect()
-    is one row of scalars — driver state is O(#constraints), never O(rows).
+    oracle convention), `status` in {'pass', 'fail'} ('fail' when the
+    metric is NULL — e.g. min over zero rows).
+
+    `group_by=` evaluates the SAME suite per group — the north rule's
+    per-partition pass/fail verdicts as one grouped aggregation (results
+    are one row per group × constraint, group columns prepended).
+
+    Everything stays declarative: the aggregates, the bound comparisons,
+    and the result rows are column expressions (explode of one struct per
+    constraint), so nothing is ever collected to the driver and the plan
+    is a single partial+final hash aggregation at any scale.
     """
     aggs = [c.agg for ch in checks for c in ch.constraints]
     if not aggs:
         return df.sparkSession.createDataFrame([], RESULT_SCHEMA)
-    row = df.agg(*aggs).collect()[0]
-    out = []
-    for ch in checks:
-        for c in ch.constraints:
-            v, ok = c.evaluate(row)
-            out.append(
-                (
-                    ch.name,
-                    ch.level,
-                    c.name,
-                    c.column,
-                    c.metric,
-                    round(v, 6) if v is not None else None,
-                    "pass" if ok else "fail",
-                )
-            )
-    return df.sparkSession.createDataFrame(out, RESULT_SCHEMA)
+    grouped = df.groupBy(*group_by) if group_by else df.groupBy()
+    one = grouped.agg(*aggs)
+    structs = [c.result_struct(ch) for ch in checks for c in ch.constraints]
+    keys = [F.col(g) for g in group_by] if group_by else []
+    return one.select(*keys, F.explode(F.array(*structs)).alias("s")).select(
+        *(group_by or []), "s.*"
+    )
 
 
 def clips_checks() -> list[Check]:

@@ -98,6 +98,30 @@ def test_approx_uniqueness_no_expand(df):
     assert "Expand" in mixed._jdf.queryExecution().executedPlan().toString()
 
 
+def test_grouped_verify_per_partition_verdicts(df):
+    """group_by= evaluates the suite once per partition value in ONE
+    grouped aggregation — per-partition pass/fail verdicts."""
+    checks = [Check("vals", "error").has_max("val", at_most=35).is_complete("val")]
+    res = verify(df, checks, group_by=["cat"])
+    rows = {(r["cat"], r["constraint"]): r["status"] for r in res.collect()}
+    assert rows[("a", "has_max")] == "pass"   # max 20
+    assert rows[("c", "has_max")] == "fail"   # max 50
+    assert rows[("z", "has_max")] == "fail"   # max 60
+    assert rows[("b", "has_completeness")] == "fail"  # the NULL val row
+    assert rows[("a", "has_completeness")] == "pass"
+    assert res.count() == 4 * 2
+    # one aggregate, no join/second scan in the plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_null_metric_fails(spark):
+    """min over zero matching rows is NULL -> constraint fails, not crashes."""
+    df = spark.createDataFrame([], "x double")
+    r = verify(df, [Check("c").has_min("x", at_least=0)]).collect()[0]
+    assert r["value"] is None and r["status"] == "fail"
+
+
 def test_satisfies_null_counts_as_fail(spark):
     df = spark.createDataFrame([(None,), (4.0,)], "x double")
     r = verify(df, [Check("c").satisfies("x > 3", "x_gt3", 1.0)]).collect()[0]
