@@ -189,6 +189,102 @@ def transcript_integrity_check_q(spark, sf_dir):
     )
 
 
+# ---- speaking-rate plausibility (audio ↔ transcript pairing) ---------------
+
+# Conversational speech runs ~2–3 words/sec; beyond these bounds the stored
+# transcript cannot plausibly belong to the stored audio (wrong pairing,
+# truncated audio, or runaway ASR). The fixture's clean clips sit at
+# 1.25-5.0 words/sec (n_words = max(dur_ms // 400, 1)); its planted
+# null/empty transcripts land in the missing/empty statuses, and the rate
+# bounds are exercised by synthetic rows in tests/test_transcript.py.
+RATE_LO_WPS = 0.5
+RATE_HI_WPS = 4.0
+
+
+def speaking_rate(
+    df: DataFrame,
+    transcript_col: str = "transcript",
+    dur_col: str = "dur_ms",
+    lo_wps: float = RATE_LO_WPS,
+    hi_wps: float = RATE_HI_WPS,
+) -> DataFrame:
+    """Words-per-second plausibility of each (audio, transcript) pair.
+
+    Emits (n_words, wps, rate_status) where rate_status is
+    missing / empty / too_slow / too_fast / ok. Word count is
+    `size(split(transcript, ' '))` — a native JVM expression, so like
+    `transcript_integrity` this is one codegen'd map-only projection with
+    zero shuffle: at 10^12 rows it rides the same scan as every other
+    row-local check. (The reference engine has no transcript checks; this
+    serves the build brief's audio+transcript pairing contract.)"""
+    t, d = F.col(transcript_col), F.col(dur_col)
+    has_text = t.isNotNull() & (F.length(t) > 0)
+    words = F.when(has_text, F.size(F.split(t, " "))).otherwise(F.lit(None))
+    wps = words * F.lit(1000.0) / d
+    status = (
+        F.when(t.isNull(), F.lit("missing"))
+        .when(F.length(t) == 0, F.lit("empty"))
+        .when(wps > hi_wps, F.lit("too_fast"))
+        .when(wps < lo_wps, F.lit("too_slow"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumns(
+        {
+            "n_words": words.cast("long"),
+            "wps": F.round(wps, 6),
+            "rate_status": status,
+        }
+    )
+
+
+def speaking_rate_violations(df: DataFrame, **kw) -> DataFrame:
+    """Pairs whose rate is implausible (everything not ok)."""
+    return speaking_rate(df, **kw).filter(F.col("rate_status") != "ok")
+
+
+_CT = "read_parquet('/tmp/mb_bench_clips_v2_10000.parquet/*.parquet')"
+
+
+@register(
+    "transcript_rate_check",
+    f"""
+    WITH scored AS (
+      SELECT clip_id, codec, dur_ms,
+             CASE WHEN transcript IS NOT NULL AND length(transcript) > 0
+                  THEN CAST(len(string_split(transcript, ' ')) AS BIGINT)
+             END AS n_words,
+             CASE WHEN transcript IS NOT NULL AND length(transcript) > 0
+                  THEN len(string_split(transcript, ' ')) * 1000.0 / dur_ms
+             END AS raw_wps,
+             CASE WHEN transcript IS NULL THEN 'missing'
+                  WHEN length(transcript) = 0 THEN 'empty'
+                  WHEN len(string_split(transcript, ' ')) * 1000.0 / dur_ms
+                       > {RATE_HI_WPS} THEN 'too_fast'
+                  WHEN len(string_split(transcript, ' ')) * 1000.0 / dur_ms
+                       < {RATE_LO_WPS} THEN 'too_slow'
+                  ELSE 'ok' END AS rate_status
+      FROM {_CT}
+    )
+    SELECT clip_id, codec, dur_ms, n_words,
+           round(raw_wps, 6) AS wps, rate_status
+    FROM scored WHERE rate_status <> 'ok'
+    ORDER BY clip_id
+    """,
+)
+def transcript_rate_check_q(spark, sf_dir):
+    """Speaking-rate violations over the clips table — words/sec outside
+    the plausible-speech band, plus missing/empty pairs. Map-only scan of
+    the non-payload columns (the parquet reader never touches `bytes`)."""
+    from macrobase_spark.operators.clips_suite import clips_table
+
+    df = clips_table(spark, sf_dir).select(
+        "clip_id", "codec", "dur_ms", "transcript"
+    )
+    return speaking_rate_violations(df).select(
+        "clip_id", "codec", "dur_ms", "n_words", "wps", "rate_status"
+    )
+
+
 @register(
     "transcript_drift_stats",
     f"""

@@ -85,3 +85,79 @@ def test_plan_is_map_only(spark):
     )
     plan = transcript_violations(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_speaking_rate_semantics(spark):
+    from macrobase_spark.operators.transcript import (
+        speaking_rate,
+        speaking_rate_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", None, 1000),          # missing
+            ("b", "", 1000),            # empty
+            ("c", "one two three", 1200),  # 2.5 wps → ok
+            ("d", "one two three four five", 1000),  # 5 wps → too_fast
+            ("e", "one", 10000),        # 0.1 wps → too_slow
+        ],
+        "clip_id string, transcript string, dur_ms int",
+    )
+    got = {
+        r["clip_id"]: (r["rate_status"], r["n_words"])
+        for r in speaking_rate(df).collect()
+    }
+    assert got["a"] == ("missing", None)
+    assert got["b"] == ("empty", None)
+    assert got["c"] == ("ok", 3)
+    assert got["d"] == ("too_fast", 5)
+    assert got["e"] == ("too_slow", 1)
+    viols = {r["clip_id"] for r in speaking_rate_violations(df).collect()}
+    assert viols == {"a", "b", "d", "e"}
+
+
+def test_speaking_rate_plan_is_map_only(spark):
+    from macrobase_spark.operators.transcript import speaking_rate_violations
+
+    df = spark.createDataFrame(
+        [("a", "x y", 1000)], "clip_id string, transcript string, dur_ms int"
+    )
+    plan = speaking_rate_violations(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_speaking_rate_fixture_plants(spark):
+    """On the generated clips table the violations are exactly the planted
+    null/empty transcripts plus the short-clip (dur < 250 ms) fast band —
+    pure functions of id, so the set is symbolically enumerable."""
+    from macrobase_spark.operators.transcript import speaking_rate_violations
+    from macrobase_spark.sources.clips import generate_clips, row_params
+
+    n = 4000
+    df = generate_clips(spark, n, max_payload_ms=20)
+    got = {
+        r["clip_id"]: r["rate_status"]
+        for r in speaking_rate_violations(
+            df.select("clip_id", "codec", "dur_ms", "transcript")
+        ).collect()
+    }
+    p = row_params(np.arange(n, dtype=np.uint64))
+    expect = {}
+    for i, dur in zip(p["id"], p["dur_ms"]):
+        i = int(i)
+        cid = f"clip_{i:012d}"
+        if i % 211 == 3:
+            expect[cid] = "missing"
+        elif i % 503 == 11:
+            expect[cid] = "empty"
+        else:
+            wps = max(int(dur) // 400, 1) * 1000.0 / int(dur)
+            if wps > 4.0:
+                expect[cid] = "too_fast"
+            elif wps < 0.5:
+                expect[cid] = "too_slow"
+    assert got == expect
+    # the lognormal duration makes dur < 250 ms a ~2e-5 event, so the fast
+    # band is exercised by the synthetic-row semantics test above; here the
+    # recovered set is exactly the planted missing/empty transcripts
+    assert got and all(s in ("missing", "empty") for s in got.values())
