@@ -38,6 +38,7 @@ import macrobase_spark.operators.silence  # noqa: E402,F401
 import macrobase_spark.operators.rrcf  # noqa: E402,F401
 import macrobase_spark.operators.subspace_explainers  # noqa: E402,F401
 import macrobase_spark.operators.transcript  # noqa: E402,F401
+import macrobase_spark.operators.mfcc  # noqa: E402,F401
 import macrobase_spark.operators.drift  # noqa: E402,F401
 import macrobase_spark.operators.constraints  # noqa: E402,F401
 import macrobase_spark.plans.metrics_repo  # noqa: E402,F401
@@ -84,6 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
         refout_artifacts_parquet,
     )
     from macrobase_spark.operators.transcript import transcript_pairs_parquet
+    from macrobase_spark.operators.mfcc import mfcc_parquet
 
     for mat in (
         scored_parquet,
@@ -106,6 +108,7 @@ def entry(spark: SparkSession) -> DataFrame:
         lookout_artifacts_parquet,
         refout_artifacts_parquet,
         transcript_pairs_parquet,
+        mfcc_parquet,
     ):
         try:
             mat(spark, sf01)

@@ -82,6 +82,8 @@ EXTRA = [
     "clips_anomaly_scores",
     "clips_windowed_rates",
     "clips_lof_scores",
+    "transcript_rate_check",
+    "clips_mfcc_stats",
 ]
 
 
@@ -198,6 +200,7 @@ def main() -> int:
     import macrobase_spark.operators.drift  # noqa: F401
     import macrobase_spark.operators.profile  # noqa: F401
     import macrobase_spark.operators.silence  # noqa: F401
+    import macrobase_spark.operators.mfcc  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

@@ -14,6 +14,7 @@ import macrobase_spark.operators.hics  # noqa: F401
 import macrobase_spark.operators.hst  # noqa: F401
 import macrobase_spark.operators.image  # noqa: F401
 import macrobase_spark.operators.mcod  # noqa: F401
+import macrobase_spark.operators.mfcc  # noqa: F401
 import macrobase_spark.operators.profile  # noqa: F401
 import macrobase_spark.operators.silence  # noqa: F401
 import macrobase_spark.operators.rrcf  # noqa: F401
