@@ -35,6 +35,7 @@ import macrobase_spark.operators.image  # noqa: E402,F401
 import macrobase_spark.operators.mcod  # noqa: E402,F401
 import macrobase_spark.operators.profile  # noqa: E402,F401
 import macrobase_spark.operators.silence  # noqa: E402,F401
+import macrobase_spark.operators.sniff  # noqa: E402,F401
 import macrobase_spark.operators.rrcf  # noqa: E402,F401
 import macrobase_spark.operators.subspace_explainers  # noqa: E402,F401
 import macrobase_spark.operators.transcript  # noqa: E402,F401

@@ -84,6 +84,8 @@ EXTRA = [
     "clips_lof_scores",
     "transcript_rate_check",
     "clips_mfcc_stats",
+    "codec_magic_check",
+    "codec_magic_violations",
 ]
 
 
@@ -200,6 +202,7 @@ def main() -> int:
     import macrobase_spark.operators.drift  # noqa: F401
     import macrobase_spark.operators.profile  # noqa: F401
     import macrobase_spark.operators.silence  # noqa: F401
+    import macrobase_spark.operators.sniff  # noqa: F401
     import macrobase_spark.operators.mfcc  # noqa: F401
     from macrobase_spark.session import get_spark
 

@@ -17,6 +17,7 @@ import macrobase_spark.operators.mcod  # noqa: F401
 import macrobase_spark.operators.mfcc  # noqa: F401
 import macrobase_spark.operators.profile  # noqa: F401
 import macrobase_spark.operators.silence  # noqa: F401
+import macrobase_spark.operators.sniff  # noqa: F401
 import macrobase_spark.operators.rrcf  # noqa: F401
 import macrobase_spark.operators.subspace_explainers  # noqa: F401
 import macrobase_spark.operators.similarity  # noqa: F401
