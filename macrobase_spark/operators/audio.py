@@ -242,11 +242,13 @@ def decode_compressed(codec: str, b: bytes):
     raise NotImplementedError(f"decode for codec {codec!r} requires external libraries")
 
 
-def sin_samples(w: float, n: int) -> np.ndarray:
-    """sin(w·k) for k = 0..n−1 WITHOUT a libm call per sample: one complex
-    rotation cumprod per 4096-sample block, each block reseeded exactly from
-    sin/cos at its boundary (2 libm calls per block, ~8 flops/sample of
-    vector mult-adds otherwise).
+def sin_samples(w: float, n: int, phase: float = 0.0) -> np.ndarray:
+    """sin(w·k + phase) for k = 0..n−1 WITHOUT a libm call per sample: one
+    complex rotation cumprod per 4096-sample block, each block reseeded
+    exactly from sin/cos at its boundary (2 libm calls per block, ~8
+    flops/sample of vector mult-adds otherwise). phase=0.0 is bit-identical
+    to the historical two-arg form (w·s + 0.0 == w·s), so cached fixtures
+    keyed on render output stay valid.
 
     Why not np.sin: the vectorized libm sin uses AVX gather-based table
     lookups, which collapse ~50× on hosts with gather-throughput
@@ -262,8 +264,8 @@ def sin_samples(w: float, n: int) -> np.ndarray:
     base = np.cumprod(np.full(m0, rot, dtype=np.complex128))  # z^1..z^m0
     for s in range(0, n, B):
         m = min(B, n - s)
-        ws = w * s
-        z0 = complex(np.cos(ws), np.sin(ws))  # exact block seed: z^s
+        ws = w * s + phase
+        z0 = complex(np.cos(ws), np.sin(ws))  # exact block seed: z^s · e^(i·phase)
         out[s] = z0.imag
         if m > 1:
             np.multiply(base[: m - 1].imag, z0.real, out=out[s + 1 : s + m])

@@ -53,7 +53,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from macrobase_spark.operators.audio import decode_audio, splitmix64, u01
+from macrobase_spark.operators.audio import decode_audio, sin_samples, splitmix64, u01
 from macrobase_spark.queries import register
 
 # 16 overlapping triangular bands, log-spaced 150 Hz .. 3800 Hz (absolute Hz
@@ -244,17 +244,18 @@ def fp_clip_content(i: int, sr: int, ms: int = 100) -> np.ndarray:
     table's tone+noise payloads are noise-dominated outside one band and
     make every fingerprint scheme look fragile). Pure function of (i, sr)."""
     n = max(int(sr * ms / 1000), 64)
-    t = np.arange(n, dtype=np.float64) / sr
     f0 = 100.0 + float(splitmix64(np.array([i + 11], dtype=np.uint64))[0] % np.uint64(400))
     ii = np.array([i], dtype=np.uint64)
     sig = np.zeros(n)
+    # libm-free renders (audio.sin_samples with phase): per-sample np.sin is
+    # pathological on this sandbox's gather-mitigated host states.
     for h in range(1, 6):
         a = float(u01(ii, 100 + h)[0]) * 0.9 + 0.1
         ph = float(u01(ii, 200 + h)[0]) * 2 * np.pi
-        sig += (a / h) * np.sin(2 * np.pi * h * f0 * t + ph)
+        sig += (a / h) * sin_samples(2 * np.pi * h * f0 / sr, n, phase=ph)
     fenv = 5.0 + float(u01(ii, 300)[0]) * 15.0
     phe = float(u01(ii, 301)[0]) * 2 * np.pi
-    sig *= 0.5 + 0.5 * np.sin(2 * np.pi * fenv * t + phe)
+    sig *= 0.5 + 0.5 * sin_samples(2 * np.pi * fenv / sr, n, phase=phe)
     sig /= max(float(np.abs(sig).max()), 1e-9) / 0.8
     noise = (
         u01(np.arange(n, dtype=np.uint64) + np.uint64(i) * np.uint64(2654435761), 5) - 0.5

@@ -160,7 +160,7 @@ def generate_silence_clips(spark, n: int):
     """
     import pandas as pd
 
-    from macrobase_spark.operators.audio import tone_hz, wav_bytes
+    from macrobase_spark.operators.audio import sin_samples, tone_hz, wav_bytes
 
     sr = 16000
     base_n = int(sr * 0.4)
@@ -171,8 +171,7 @@ def generate_silence_clips(spark, n: int):
             for s in pdf["id"]:
                 i = int(s)
                 f0 = float(tone_hz(np.array([i], dtype=np.uint64))[0])
-                t = np.arange(base_n, dtype=np.float64) / sr
-                sig = 0.8 * np.sin(2 * np.pi * f0 * t)
+                sig = 0.8 * sin_samples(2 * np.pi * f0 / sr, base_n)  # libm-free
                 if i % 23 == 4:
                     sig = np.zeros(base_n)
                 elif i % 7 == 2:

@@ -39,7 +39,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from macrobase_spark.operators.audio import splitmix64, tone_hz, u01, wav_bytes
+from macrobase_spark.operators.audio import (
+    sin_samples,
+    splitmix64,
+    tone_hz,
+    u01,
+    wav_bytes,
+)
 
 CODECS = ["opus", "mp3", "flac", "aac", "pcm_s16le"]
 CODEC_CUM = [0.60, 0.75, 0.85, 0.95, 1.0]
@@ -109,8 +115,11 @@ def _payload(i: int, sr: int, dur_ms: int, max_ms: int, codec: str = "") -> byte
     ms = min(dur_ms, max_ms)
     n = max(int(sr * ms / 1000), 16)
     f0 = float(tone_hz(np.array([i], dtype=np.uint64))[0])
-    t = np.arange(n, dtype=np.float64) / sr
-    sig = 0.8 * np.sin(2 * np.pi * f0 * t)
+    # libm-free render (identical recipe to the checker's render_reference):
+    # np.sin's gather-based libm path collapses ~50x on this sandbox's
+    # mitigated host states, and the generator is the bulk of fixture
+    # materialization cost at the 8M-clip bench scale.
+    sig = 0.8 * sin_samples(2 * np.pi * f0 / sr, n)
     noise = (u01(np.arange(n, dtype=np.uint64) + np.uint64(i) * np.uint64(2654435761), 5) - 0.5) * 0.01
     pcm = np.clip((sig + noise) * 32767, -32768, 32767).astype(np.int16)
     b = wav_bytes(pcm, sr)
@@ -251,8 +260,7 @@ def generate_codec_clips(
                     ms = min(int(r.dur_ms), max_payload_ms)
                     nsamp = max(int(sr * ms / 1000), 16)
                     f0 = float(tone_hz(np.array([i], dtype=np.uint64))[0])
-                    t = np.arange(nsamp, dtype=np.float64) / sr
-                    sig = 0.8 * np.sin(2 * np.pi * f0 * t)
+                    sig = 0.8 * sin_samples(2 * np.pi * f0 / sr, nsamp)
                     noise = (
                         u01(np.arange(nsamp, dtype=np.uint64) + np.uint64(i) * np.uint64(2654435761), 5)
                         - 0.5

@@ -160,3 +160,21 @@ def test_sin_samples_matches_libm():
         got = sin_samples(w, n)
         want = np.sin(w * np.arange(n, dtype=np.float64))
         assert np.abs(got - want).max() < 1e-9, (f0, sr, n)
+
+
+def test_sin_samples_phase():
+    """Phased render == np.sin(w·k + φ) to 1e-9, and phase=0.0 is
+    bit-identical to the two-arg form (cached fixtures keyed on render
+    output stay valid across the signature extension)."""
+    import numpy as np
+    from macrobase_spark.operators.audio import sin_samples
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        w = float(rng.uniform(1e-4, 3.0))
+        n = int(rng.integers(5, 20000))
+        ph = float(rng.uniform(0, 2 * np.pi))
+        got = sin_samples(w, n, phase=ph)
+        want = np.sin(w * np.arange(n, dtype=np.float64) + ph)
+        assert np.abs(got - want).max() < 1e-9, (w, n, ph)
+    assert np.array_equal(sin_samples(0.123, 9000), sin_samples(0.123, 9000, phase=0.0))
