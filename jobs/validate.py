@@ -44,6 +44,13 @@ def main() -> int:
     )
     ap.add_argument("--checkpoint-dir", default="/tmp/mb_stream_ckpt")
     ap.add_argument("--violations-dir", default=None)
+    ap.add_argument(
+        "--constraints",
+        default=None,
+        help="YAML/JSON file declaring a Check suite (constraints.checks_from_config); "
+        "evaluated over the scored relation in ONE aggregation pass and printed "
+        "before the imperative suite runs",
+    )
     args = ap.parse_args()
 
     spark = get_spark("mb-validate", master=args.master)
@@ -92,6 +99,20 @@ def main() -> int:
     else:
         clips = generate_clips(spark, args.n)
         ref = generate_manifest(spark, args.n)
+
+    if args.constraints:
+        import yaml  # PyYAML parses JSON too (JSON is a YAML subset)
+
+        from macrobase_spark.operators.constraints import suite_status, verify_config
+
+        conf = yaml.safe_load(Path(args.constraints).read_text())
+        # column pruning is Catalyst's job: only columns the declared
+        # constraints reference reach the scan (bytes stays out unless a
+        # `satisfies` expression names it)
+        res = verify_config(clips, conf)
+        results = [r.asDict() for r in res.collect()]
+        verdict_rows = {r["check"]: r["verdict"] for r in suite_status(res).collect()}
+        print(json.dumps({"constraint_results": results, "verdicts": verdict_rows}))
 
     run_manifest = RunManifest(args.manifest_dir)
     all_parts = [r["codec"] for r in clips.select("codec").distinct().collect()]

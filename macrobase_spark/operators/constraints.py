@@ -397,3 +397,86 @@ def suite_status(results: DataFrame) -> DataFrame:
         .otherwise(F.lit("pass"))
         .alias("verdict"),
     )
+
+
+# ---- config-declared suites (reference parity: yaml-driven pipelines) -------
+
+# every fluent builder method a config may invoke; anything else is a
+# config error, reported with the check/constraint position.
+CONFIG_CONSTRAINT_TYPES = frozenset(
+    {
+        "has_size",
+        "is_complete",
+        "has_completeness",
+        "are_complete",
+        "is_unique",
+        "has_distinctness",
+        "has_min",
+        "has_max",
+        "has_mean",
+        "has_sum",
+        "has_stddev",
+        "has_quantile",
+        "satisfies",
+        "is_non_negative",
+        "is_positive",
+        "is_contained_in",
+        "has_pattern",
+    }
+)
+
+
+def checks_from_config(conf: dict | list) -> list[Check]:
+    """Build a Check suite from plain data (the parsed form of a YAML/JSON
+    config) — the reference engine is config-driven end to end
+    (alexp/.../pipeline/Pipelines.java builds pipelines from yaml configs;
+    sql/ parses SQL text), and a fleet-scale validation tier declares its
+    expectations in reviewed config files, not code. Shape:
+
+        checks:
+          - name: schema
+            level: error        # optional, default 'error'
+            constraints:
+              - {type: has_size, min_rows: 1000}
+              - {type: is_complete, column: clip_id}
+              - {type: has_quantile, column: dur_ms, q: 0.5, at_most: 10000}
+
+    `type` selects the fluent builder method; the remaining keys are its
+    keyword arguments verbatim (so the config vocabulary IS the Python
+    API — one documentation surface). Raises ValueError with the
+    check/constraint position on unknown types or bad arguments."""
+    if isinstance(conf, dict):
+        conf = conf.get("checks", [])
+    checks: list[Check] = []
+    for ci, cdef in enumerate(conf):
+        if not isinstance(cdef, dict) or "name" not in cdef:
+            raise ValueError(f"checks[{ci}]: each check needs a 'name'")
+        check = Check(str(cdef["name"]), str(cdef.get("level", "error")))
+        for ki, kdef in enumerate(cdef.get("constraints", [])):
+            where = f"checks[{ci}] ({check.name}) constraints[{ki}]"
+            if not isinstance(kdef, dict) or "type" not in kdef:
+                raise ValueError(f"{where}: each constraint needs a 'type'")
+            ctype = str(kdef["type"])
+            if ctype not in CONFIG_CONSTRAINT_TYPES:
+                raise ValueError(
+                    f"{where}: unknown constraint type {ctype!r} "
+                    f"(expected one of {sorted(CONFIG_CONSTRAINT_TYPES)})"
+                )
+            kwargs = {k: v for k, v in kdef.items() if k != "type"}
+            try:
+                getattr(check, ctype)(**kwargs)
+            except TypeError as ex:
+                raise ValueError(f"{where}: bad arguments for {ctype}: {ex}") from ex
+        checks.append(check)
+    return checks
+
+
+def verify_config(
+    df: DataFrame, conf: dict | list, group_by: list[str] | None = None
+) -> DataFrame:
+    """`verify(df, checks_from_config(conf))` — one aggregation pass, same
+    RESULT_SCHEMA. `group_by` may also come from the config ('group_by'
+    key) when `conf` is a dict; an explicit argument wins."""
+    if group_by is None and isinstance(conf, dict):
+        group_by = conf.get("group_by")
+    return verify(df, checks_from_config(conf), group_by=group_by)

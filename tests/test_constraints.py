@@ -144,3 +144,67 @@ def test_clips_constraint_suite_shape(spark):
     assert rows[("schema", "has_completeness", "clip_id")]["status"] == "pass"
     assert rows[("schema", "has_pattern:clip_id", "clip_id")]["status"] == "pass"
     assert rows[("content", "satisfies:codec_contained", "*")]["status"] == "pass"
+
+
+def test_checks_from_config_matches_programmatic(df):
+    from macrobase_spark.operators.constraints import checks_from_config
+
+    conf = {
+        "checks": [
+            {
+                "name": "size",
+                "constraints": [{"type": "has_size", "min_rows": 6, "max_rows": 6}],
+            },
+            {
+                "name": "range",
+                "level": "warning",
+                "constraints": [
+                    {"type": "has_min", "column": "val", "at_least": 5},
+                    {"type": "has_quantile", "column": "val", "q": 0.5,
+                     "at_least": 30, "at_most": 30},
+                    {"type": "satisfies", "condition": "val IS NULL OR val >= 10",
+                     "name": "val_floor", "min_ratio": 1.0},
+                ],
+            },
+        ]
+    }
+    got = _res(verify(df, checks_from_config(conf)))
+    want = _res(
+        verify(
+            df,
+            [
+                Check("size", "error").has_size(min_rows=6, max_rows=6),
+                Check("range", "warning")
+                .has_min("val", at_least=5)
+                .has_quantile("val", 0.5, at_least=30, at_most=30)
+                .satisfies("val IS NULL OR val >= 10", "val_floor", 1.0),
+            ],
+        )
+    )
+    assert got == want
+
+
+def test_config_errors_carry_position(df):
+    from macrobase_spark.operators.constraints import checks_from_config
+
+    with pytest.raises(ValueError, match=r"checks\[0\].*'name'"):
+        checks_from_config([{"level": "error"}])
+    with pytest.raises(ValueError, match=r"constraints\[0\].*unknown constraint type"):
+        checks_from_config([{"name": "x", "constraints": [{"type": "has_magic"}]}])
+    with pytest.raises(ValueError, match=r"bad arguments for has_min"):
+        checks_from_config(
+            [{"name": "x", "constraints": [{"type": "has_min", "wat": 1}]}]
+        )
+
+
+def test_verify_config_group_by(df):
+    from macrobase_spark.operators.constraints import verify_config
+
+    conf = {
+        "group_by": ["cat"],
+        "checks": [
+            {"name": "g", "constraints": [{"type": "has_size", "min_rows": 2}]}
+        ],
+    }
+    rows = {r["cat"]: r["status"] for r in verify_config(df, conf).collect()}
+    assert rows == {"a": "pass", "b": "pass", "c": "fail", "z": "fail"}

@@ -82,3 +82,45 @@ def test_spark_submit_stream_mode(tmp_path, spark):
     r2 = _submit(zpath, *common)
     assert r2["rows"] == 2000  # unchanged — nothing reprocessed
     assert r2["manifest_rows"] == r1["manifest_rows"]
+
+
+def test_spark_submit_declared_constraints(tmp_path):
+    """--constraints yaml: the declared suite is evaluated over the clips
+    relation in the submitted job and reported as its own JSON line."""
+    zpath = _zip_engine(tmp_path)
+    conf = tmp_path / "checks.yaml"
+    conf.write_text(
+        """
+checks:
+  - name: schema
+    constraints:
+      - {type: has_size, min_rows: 1000}
+      - {type: is_complete, column: clip_id}
+      - {type: has_pattern, column: clip_id, regex: "^clip_[0-9]{12}$"}
+  - name: ranges
+    level: warning
+    constraints:
+      - {type: has_min, column: dur_ms, at_least: 1}
+      - {type: is_contained_in, column: codec, allowed: [opus, mp3, flac, aac, pcm_s16le]}
+"""
+    )
+    out = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath),
+            str(REPO / "jobs" / "validate.py"),
+            "--n", "2000", "--manifest-dir", str(tmp_path / "m"),
+            "--master", "local[4]", "--constraints", str(conf),
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")]
+    cres = next(l for l in lines if "constraint_results" in l)
+    assert cres["verdicts"]["schema"] == "pass"
+    by_c = {r["constraint"]: r["status"] for r in cres["constraint_results"]}
+    assert by_c["has_size"] == "pass"
+    assert by_c["has_pattern:clip_id"] == "pass"
+    final = lines[-1]
+    assert final["rows"] == 2000
