@@ -86,6 +86,7 @@ EXTRA = [
     "clips_mfcc_stats",
     "codec_magic_check",
     "codec_magic_violations",
+    "categorical_drift_clips",
 ]
 
 

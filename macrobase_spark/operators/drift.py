@@ -381,3 +381,124 @@ def snapshot_drift_clips_q(spark, sf_dir):
     return snapshot_drift(
         scored.filter(F.col("codec") == "opus"), scored, "dur_ms", ["codec"]
     )
+
+
+# ---- categorical drift (codec/sr_hz histograms) ------------------------------
+
+
+def categorical_shares(
+    ref_df: DataFrame, column: str, top_k: int = 50
+) -> list[tuple[str, float]]:
+    """Fit the reference share of each category of `column`: top_k
+    categories by count (ties broken by category value so the fit is
+    deterministic), everything else pooled into '__other__'. One tiny
+    aggregate; the result is baked into the comparison plan as broadcast
+    literals — at 10^12 rows the category list must be bounded, which is
+    exactly what the top-K + other pooling guarantees."""
+    rows = (
+        ref_df.groupBy(F.col(column).cast("string").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc_nulls_last("cat"))
+        .limit(top_k)
+        .collect()
+    )
+    total = ref_df.count()
+    shares = [(r["cat"], r["c"] / total) for r in rows if r["cat"] is not None]
+    tail = 1.0 - sum(s for _, s in shares)
+    shares.append(("__other__", max(tail, 0.0)))
+    return shares
+
+
+def categorical_drift(
+    ref_df: DataFrame,
+    cur_df: DataFrame,
+    column: str,
+    group_cols: list[str],
+    top_k: int = 50,
+    min_psi: float = 0.2,
+    shares: list[tuple[str, float]] | None = None,
+) -> DataFrame:
+    """Drift of a CATEGORICAL column's histogram (the north rule names
+    codec histograms explicitly; quantile-bin PSI/KS only cover numeric
+    metrics). Compares each group's category-share vector in `cur_df`
+    against the reference snapshot's shares.
+
+    Plan shape = snapshot_drift's: ONE groupBy(group_cols) aggregate whose
+    per-category conditional counters are baked from the broadcast
+    reference fit (categories not in the fit count as '__other__'), then
+    PSI and the chi-square statistic are stateless arithmetic over the
+    |groups|×|categories| counters. NULL category counts as '__other__'.
+
+    Returns (group_cols…, n, psi, chi2, psi_drifted). chi2 is the Pearson
+    statistic n·Σ(obs_share−ref_share)²/ref_share (df = k−1), reported raw
+    so callers pick their own critical value; psi_drifted applies the
+    conventional PSI ≥ min_psi bar."""
+    if shares is None:
+        shares = categorical_shares(ref_df, column, top_k)
+    known = [c for c, _ in shares if c != "__other__"]
+    cat = F.col(column).cast("string")
+    bucket = F.when(cat.isin(known), cat).otherwise(F.lit("__other__"))
+    counters = [
+        F.sum((bucket == F.lit(c)).cast("long")).alias(f"c{i}")
+        for i, (c, _) in enumerate(shares)
+    ]
+    agg = cur_df.groupBy(*group_cols).agg(*counters)
+    n = sum(F.col(f"c{i}") for i in range(len(shares)))
+    psi = sum(
+        (F.greatest(F.col(f"c{i}") / n, F.lit(EPS)) - F.lit(max(s, EPS)))
+        * F.log(F.greatest(F.col(f"c{i}") / n, F.lit(EPS)) / F.lit(max(s, EPS)))
+        for i, (_, s) in enumerate(shares)
+    )
+    chi2 = sum(
+        (F.col(f"c{i}") / n - F.lit(s)) ** 2 / F.lit(max(s, EPS))
+        for i, (_, s) in enumerate(shares)
+    ) * n
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.round(psi, 6).alias("psi"),
+        F.round(chi2, 6).alias("chi2"),
+    ).withColumn("psi_drifted", F.col("psi") >= F.lit(min_psi))
+
+
+@register(
+    "categorical_drift_clips",
+    f"""
+    WITH s AS (SELECT * FROM {_S}),
+    ref AS (
+      SELECT codec AS cat, count(*) / CAST((SELECT count(*) FROM s) AS DOUBLE) AS share
+      FROM s GROUP BY codec
+    ),
+    cur AS (
+      SELECT (NOT decode_ok) AS failed, codec AS cat, count(*) AS c
+      FROM s GROUP BY failed, codec
+    ),
+    tot AS (SELECT failed, sum(c) AS n FROM cur GROUP BY failed),
+    dense AS (
+      SELECT t.failed, t.n, r.share AS e, coalesce(c.c, 0) AS c
+      FROM tot t CROSS JOIN ref r
+      LEFT JOIN cur c ON c.failed = t.failed AND c.cat = r.cat
+    )
+    SELECT failed, CAST(n AS BIGINT) AS n,
+           round(sum((greatest(c / CAST(n AS DOUBLE), 1e-6) - greatest(e, 1e-6))
+                     * ln(greatest(c / CAST(n AS DOUBLE), 1e-6) / greatest(e, 1e-6))), 6) AS psi,
+           round(sum(pow(c / CAST(n AS DOUBLE) - e, 2) / greatest(e, 1e-6)) * n, 6) AS chi2,
+           sum((greatest(c / CAST(n AS DOUBLE), 1e-6) - greatest(e, 1e-6))
+               * ln(greatest(c / CAST(n AS DOUBLE), 1e-6) / greatest(e, 1e-6))) >= 0.2 AS psi_drifted
+    FROM dense GROUP BY failed, n
+    ORDER BY failed
+    """,
+)
+def categorical_drift_clips_q(spark, sf_dir):
+    """Codec-histogram drift of failing vs passing clips against the full
+    table's codec shares: the planted flac-correlated corruption
+    (sources/clips.py `_is_corrupt`: codec='flac' AND id%13==3) makes the
+    failing population flac-heavy, so the failed group's codec histogram
+    drifts hard while the passing group's stays at the reference."""
+    from macrobase_spark.operators.clips_suite import scored_parquet
+
+    scored = spark.read.parquet(scored_parquet(spark, sf_dir))
+    cur = scored.withColumn("failed", ~F.col("decode_ok"))
+    return categorical_drift(scored, cur, "codec", ["failed"], top_k=50).orderBy(
+        "failed"
+    )

@@ -146,3 +146,45 @@ def test_snapshot_drift_single_aggregate(spark):
     # the comparison plan itself is ONE aggregate pair over cur
     assert plan.count("Aggregate") <= 2
     assert out.count() == 1
+
+
+# ---- categorical drift -------------------------------------------------------
+
+
+def test_categorical_drift_recovers_planted_codec_shift(spark):
+    from macrobase_spark.operators.drift import categorical_drift
+
+    ref = spark.createDataFrame(
+        [("opus",)] * 60 + [("flac",)] * 20 + [("aac",)] * 20, "codec string"
+    ).withColumn("grp", F.lit("ref"))
+    # current: one group matches the reference, one is flac-heavy
+    cur = spark.createDataFrame(
+        [("clean", "opus")] * 60 + [("clean", "flac")] * 20 + [("clean", "aac")] * 20
+        + [("bad", "flac")] * 80 + [("bad", "opus")] * 20,
+        "grp string, codec string",
+    )
+    rows = {r["grp"]: r for r in categorical_drift(ref, cur, "codec", ["grp"]).collect()}
+    assert rows["clean"]["psi"] < 0.01 and not rows["clean"]["psi_drifted"]
+    assert rows["bad"]["psi"] > 0.5 and rows["bad"]["psi_drifted"]
+    assert rows["bad"]["chi2"] > rows["clean"]["chi2"]
+    assert rows["clean"]["n"] == 100 and rows["bad"]["n"] == 100
+
+
+def test_categorical_drift_other_pooling_and_nulls(spark):
+    """Categories outside the top-k fit (and NULLs) pool into __other__ on
+    both the reference and current side."""
+    from macrobase_spark.operators.drift import categorical_drift, categorical_shares
+
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 10 + [("d",)] * 10, "cat string"
+    )
+    shares = categorical_shares(ref, "cat", top_k=2)
+    assert [c for c, _ in shares] == ["a", "b", "__other__"]
+    assert abs(dict(shares)["__other__"] - 0.2) < 1e-9
+    cur = spark.createDataFrame(
+        [("g", "a")] * 50 + [("g", "b")] * 30 + [("g", "zzz")] * 10 + [("g", None)] * 10,
+        "grp string, cat string",
+    )
+    row = categorical_drift(ref, cur, "cat", ["grp"], top_k=2).collect()[0]
+    # zzz and NULL both land in __other__, matching the ref tail exactly
+    assert row["psi"] < 1e-6 and not row["psi_drifted"]
