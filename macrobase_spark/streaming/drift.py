@@ -145,3 +145,61 @@ def windowed_ks(
         n.cast("long").alias("n"),
         F.round(ks, 6).alias("ks_d"),
     ).withColumn("drifted", F.col("ks_d") >= F.lit(min_d))
+
+
+def windowed_categorical(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str,
+    column: str,
+    group_cols: list[str],
+    shares: list[tuple[str, float]],
+    min_psi: float = 0.2,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Categorical-histogram drift per (event-time window, group) against a
+    reference category-share fit (operators/drift.categorical_shares) — the
+    streaming face of categorical_drift, same single-stateful-aggregation
+    shape as windowed_psi: per-category conditional counters inside ONE
+    groupBy(window, group) (categories outside the fit and NULLs pool into
+    '__other__'), PSI + chi-square as stateless arithmetic on the
+    aggregate. Append mode with a plain watermark; state =
+    |windows|×|groups| rows of |categories| counters.
+
+    Works on batch and streaming DataFrames alike. Output:
+    (ws, we, group_cols…, n, psi, chi2, drifted)."""
+    from macrobase_spark.operators.drift import EPS as _EPS
+
+    if watermark is not None:
+        df = df.withWatermark(time_col, watermark)
+    known = [c for c, _ in shares if c != "__other__"]
+    cat = F.col(column).cast("string")
+    bucket = F.when(cat.isin(known), cat).otherwise(F.lit("__other__"))
+    binned = df.select(
+        F.window(time_col, window_duration).alias("w"),
+        *group_cols,
+        bucket.alias("cat"),
+    )
+    counters = [
+        F.sum((F.col("cat") == F.lit(c)).cast("long")).alias(f"c{i}")
+        for i, (c, _) in enumerate(shares)
+    ]
+    agg = binned.groupBy("w", *group_cols).agg(*counters)
+    n = sum(F.col(f"c{i}") for i in range(len(shares)))
+    psi = sum(
+        (F.greatest(F.col(f"c{i}") / n, F.lit(_EPS)) - F.lit(max(s, _EPS)))
+        * F.log(F.greatest(F.col(f"c{i}") / n, F.lit(_EPS)) / F.lit(max(s, _EPS)))
+        for i, (_, s) in enumerate(shares)
+    )
+    chi2 = sum(
+        (F.col(f"c{i}") / n - F.lit(s)) ** 2 / F.lit(max(s, _EPS))
+        for i, (_, s) in enumerate(shares)
+    ) * n
+    return agg.select(
+        F.col("w.start").alias("ws"),
+        F.col("w.end").alias("we"),
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.round(psi, 6).alias("psi"),
+        F.round(chi2, 6).alias("chi2"),
+    ).withColumn("drifted", F.col("psi") >= F.lit(min_psi))

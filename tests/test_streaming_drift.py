@@ -195,3 +195,104 @@ def test_ks_single_stateful_operator(spark, drift_stream, ref):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("Aggregate") <= 2
+
+
+# ---- categorical (codec-histogram) drift -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cat_stream(spark):
+    """3 hours of (ts, g, codec); hour 1 makes group x flac-heavy."""
+    rows = []
+    codecs = ["opus"] * 6 + ["flac"] * 2 + ["aac"] * 2  # reference mix
+    hot = ["flac"] * 8 + ["opus"] * 2  # drifted mix
+    for i in range(6000):
+        hour = i // 2000
+        ts = f"2024-01-01 0{hour}:{(i % 2000) * 3 // 120:02d}:{(i % 2000) * 3 % 60:02d}"
+        g = ["x", "y"][i % 2]
+        mix = hot if (hour == 1 and g == "x") else codecs
+        rows.append((i, ts, g, mix[i % 10]))
+    df = spark.createDataFrame(rows, "id long, ts_s string, g string, codec string")
+    return df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_categorical_planted_window_recovered(spark, cat_stream):
+    from macrobase_spark.operators.drift import categorical_shares
+    from macrobase_spark.streaming.drift import windowed_categorical
+
+    shares = categorical_shares(cat_stream.filter(F.hour("ts") == 0), "codec")
+    res = windowed_categorical(
+        cat_stream, "ts", "1 hour", "codec", ["g"], shares
+    ).collect()
+    assert len(res) == 6
+    for r in res:
+        if r["g"] == "x" and r["ws"].hour == 1:
+            assert r["drifted"] and r["psi"] > 0.5, r
+        else:
+            assert not r["drifted"] and r["psi"] < 0.05, r
+
+
+def test_categorical_stream_matches_batch(spark, cat_stream, tmp_path):
+    """Same plan over a file stream (append mode, watermark beyond the data
+    span) emits the batch rows exactly once per finalized window."""
+    from macrobase_spark.operators.drift import categorical_shares
+    from macrobase_spark.streaming.drift import windowed_categorical
+
+    shares = categorical_shares(cat_stream.filter(F.hour("ts") == 0), "codec")
+    batch = sorted(
+        map(
+            tuple,
+            windowed_categorical(
+                cat_stream, "ts", "1 hour", "codec", ["g"], shares
+            ).collect(),
+        )
+    )
+    src = tmp_path / "cat_src"
+    cat_stream.write.parquet(str(src))
+    # far-future sentinel rows so every real window passes the watermark
+    import pandas as pd
+
+    sent = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [10**6, 10**6 + 1],
+                "g": ["x", "y"],
+                "codec": ["opus", "opus"],
+                "ts": [pd.Timestamp("2024-01-02 00:00:00")] * 2,
+            }
+        )
+    )
+    sent.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(cat_stream.schema).parquet(str(src))
+    out = windowed_categorical(
+        stream, "ts", "1 hour", "codec", ["g"], shares, watermark="3 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cat_drift_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "select * from cat_drift_sink where ws < '2024-01-01 03:00:00'"
+            ).collect(),
+        )
+    )
+    assert got == batch
+
+
+def test_categorical_single_stateful_operator(spark, cat_stream):
+    from macrobase_spark.operators.drift import categorical_shares
+    from macrobase_spark.streaming.drift import windowed_categorical
+
+    shares = categorical_shares(cat_stream.filter(F.hour("ts") == 0), "codec")
+    plan = (
+        windowed_categorical(cat_stream, "ts", "1 hour", "codec", ["g"], shares)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Aggregate") <= 2
