@@ -43,6 +43,7 @@ import macrobase_spark.operators.mfcc  # noqa: E402,F401
 import macrobase_spark.operators.drift  # noqa: E402,F401
 import macrobase_spark.operators.constraints  # noqa: E402,F401
 import macrobase_spark.plans.metrics_repo  # noqa: E402,F401
+import macrobase_spark.functions.skew  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

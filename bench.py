@@ -87,6 +87,7 @@ EXTRA = [
     "codec_magic_check",
     "codec_magic_violations",
     "categorical_drift_clips",
+    "salted_user_sets_events",
 ]
 
 
@@ -204,6 +205,7 @@ def main() -> int:
     import macrobase_spark.operators.profile  # noqa: F401
     import macrobase_spark.operators.silence  # noqa: F401
     import macrobase_spark.operators.sniff  # noqa: F401
+    import macrobase_spark.functions.skew  # noqa: F401
     import macrobase_spark.operators.mfcc  # noqa: F401
     from macrobase_spark.session import get_spark
 

@@ -126,3 +126,45 @@ def salted_join(
     )
     joined = fact_s.join(dim_s, on + [SALT], how)
     return joined.drop(SALT)
+
+
+# ---- registered demonstration query ------------------------------------------
+
+
+def _register() -> None:
+    from macrobase_spark.queries import register
+
+    @register(
+        "salted_user_sets_events",
+        """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               string_agg(DISTINCT user_id, ',' ORDER BY user_id) AS user_csv
+        FROM events
+        WHERE user_id < 40
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )
+    def salted_user_sets_events_q(spark, sf_dir):
+        """Exact per-key distinct-value sets via the salted two-stage plan —
+        the canonical non-algebraic aggregate where naive collect_set
+        funnels every hot key's raw rows through one reducer. The output is
+        rendered as a canonical sorted CSV so the oracle hash is
+        engine-portable."""
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter(F.col("user_id") < 40)
+            .select("event_type", "user_id")
+        )
+        sets = salted_collect_set(ev, ["event_type"], "user_id", n_salt=8)
+        return sets.select(
+            "event_type",
+            F.size("user_id_set").cast("long").alias("n_users"),
+            F.array_join(
+                F.transform("user_id_set", lambda x: x.cast("string")), ","
+            ).alias("user_csv"),
+        ).orderBy("event_type")
+
+
+_register()
