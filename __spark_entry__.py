@@ -26,6 +26,7 @@ import macrobase_spark.operators.audio  # noqa: E402,F401
 import macrobase_spark.operators.audio_fp  # noqa: E402,F401
 import macrobase_spark.operators.dedup  # noqa: E402,F401
 import macrobase_spark.operators.similarity  # noqa: E402,F401
+import macrobase_spark.operators.pq  # noqa: E402,F401
 import macrobase_spark.operators.text  # noqa: E402,F401
 import macrobase_spark.operators.clips_suite  # noqa: E402,F401
 import macrobase_spark.operators.detectors  # noqa: E402,F401

@@ -88,6 +88,7 @@ EXTRA = [
     "codec_magic_violations",
     "categorical_drift_clips",
     "salted_user_sets_events",
+    "ann_ivf_pq_topk",
 ]
 
 
@@ -199,6 +200,7 @@ def main() -> int:
     import macrobase_spark.operators.rrcf  # noqa: F401
     import macrobase_spark.operators.subspace_explainers  # noqa: F401
     import macrobase_spark.operators.similarity  # noqa: F401
+    import macrobase_spark.operators.pq  # noqa: F401
     import macrobase_spark.operators.text  # noqa: F401
     import macrobase_spark.operators.transcript  # noqa: F401
     import macrobase_spark.operators.drift  # noqa: F401

@@ -21,6 +21,7 @@ import macrobase_spark.operators.sniff  # noqa: F401
 import macrobase_spark.operators.rrcf  # noqa: F401
 import macrobase_spark.operators.subspace_explainers  # noqa: F401
 import macrobase_spark.operators.similarity  # noqa: F401
+import macrobase_spark.operators.pq  # noqa: F401
 import macrobase_spark.operators.text  # noqa: F401
 import macrobase_spark.operators.transcript  # noqa: F401
 import macrobase_spark.operators.drift  # noqa: F401
