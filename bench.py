@@ -89,6 +89,7 @@ EXTRA = [
     "categorical_drift_clips",
     "salted_user_sets_events",
     "ann_ivf_pq_topk",
+    "webp_feature_stats",
 ]
 
 
@@ -102,6 +103,7 @@ def _bench_only_queries() -> dict:
         image_feature_stats_pipeline,
         jpeg_feature_stats_pipeline,
         png_feature_stats_pipeline,
+        webp_feature_stats_pipeline,
         video_frame_stats_pipeline,
     )
 
@@ -178,6 +180,7 @@ def _bench_only_queries() -> dict:
         "video_frame_stats": video_frame_stats_pipeline,
         "png_feature_stats": png_feature_stats_pipeline,
         "jpeg_feature_stats": jpeg_feature_stats_pipeline,
+        "webp_feature_stats": webp_feature_stats_pipeline,
         "codec_snr_stats": _codec_snr,
     }
 

@@ -1,11 +1,13 @@
 """Image + video columns as opaque binary with typed metadata — the
 multimodal plumbing mirror of operators/audio.py.
 
-Same discipline as the audio path: decode is REAL for two dependency-free
-formats — binary PPM `P6` (numpy) and non-interlaced 8-bit PNG (pure
-stdlib zlib+struct: chunk walk, CRC verify, inflate, the five scanline
-unfilters) — while jpeg/webp, whose DCT/VP8 codecs the runtime lacks, stay
-behind an honest NotImplementedError stub (`decode_compressed_image`).
+Same discipline as the audio path: decode is REAL for four dependency-free
+formats — binary PPM `P6` (numpy), non-interlaced 8-bit PNG (pure stdlib
+zlib+struct: chunk walk, CRC verify, inflate, the five scanline
+unfilters), baseline JPEG (pure numpy, operators/jpeg.py), and lossless
+WebP/VP8L (pure numpy/stdlib, operators/webp.py) — while lossy-WebP VP8,
+whose video-intra codec the runtime lacks, stays behind an honest
+NotImplementedError stub (`decode_compressed_image`).
 The Spark-side plumbing (schema, Arrow batching, UDF shapes, partitioning)
 is format-agnostic via the magic-sniffing `decode_image` entry point, so
 another codec is a one-line dispatch.
@@ -75,8 +77,8 @@ def decode_ppm(raw: bytes) -> np.ndarray | None:
 # Non-interlaced 8-bit PNG (gray / RGB / RGBA) is fully decodable without
 # external libraries: chunk walk + zlib inflate + the five scanline
 # unfilters from the PNG spec (RFC 2083 §6). Baseline JPEG is likewise real
-# (pure numpy, operators/jpeg.py); webp stays stubbed (VP8 needs codec
-# libs).
+# (pure numpy, operators/jpeg.py), as is lossless WebP/VP8L
+# (operators/webp.py); only lossy-WebP VP8 stays stubbed.
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -212,20 +214,29 @@ def decode_image(raw: bytes) -> np.ndarray | None:
         from macrobase_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(raw)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        from macrobase_spark.operators.webp import decode_webp
+
+        return decode_webp(raw)
     return None
 
 
 def decode_compressed_image(fmt: str, raw: bytes):
     """Compressed-image decode dispatch. PNG is REAL (pure stdlib,
-    `decode_png`) and so is baseline JPEG (pure numpy, operators/jpeg.py);
-    webp needs a VP8 codec library the runtime lacks, so it stays honestly
-    stubbed (same contract as audio.decode_compressed)."""
+    `decode_png`), and so are baseline JPEG (pure numpy, operators/jpeg.py)
+    and lossless WebP/VP8L (operators/webp.py); lossy WebP (VP8) needs a
+    video-intra codec the runtime lacks, so it stays honestly stubbed
+    (same contract as audio.decode_compressed)."""
     if fmt == "png":
         return decode_png(raw)
     if fmt in ("jpeg", "jpg"):
         from macrobase_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(raw)
+    if fmt == "webp":
+        from macrobase_spark.operators.webp import decode_webp
+
+        return decode_webp(raw)
     raise NotImplementedError(f"decode for image format {fmt!r} requires external libraries")
 
 
@@ -668,6 +679,74 @@ def jpeg_feature_stats(spark, sf_dir: str) -> DataFrame:
     means. Aggregates the materialized feature relation the oracle also
     reads."""
     feats = spark.read.parquet(jpeg_features_parquet(spark, sf_dir))
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("luma_mean"))), 4).alias("avg_luma"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("mean_r"))), 4).alias("avg_r"),
+    )
+
+
+def webp_features_parquet(spark, sf_dir: str) -> str:
+    """Materialize per-image features of the lossless-WebP fixture (ONE
+    decode pass through the pure-numpy VP8L codec) for the DuckDB oracle —
+    same recipe as png/jpeg_features_parquet."""
+    import os
+
+    from macrobase_spark.sources.images import generate_webp_images
+
+    n = _images_n(sf_dir)
+    path = f"/tmp/mb_webpfeat_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        imgs = generate_webp_images(spark, n)
+        (
+            image_features(imgs)
+            .join(imgs.select("image_id", "label"), "image_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def webp_feature_stats_pipeline(spark, sf_dir: str) -> DataFrame:
+    """Full synthesize → VP8L-encode → VP8L-decode → agg in one plan — the
+    BENCH entry, so the timed number includes prefix-coding both ways plus
+    the transform forward/inverse passes."""
+    from macrobase_spark.sources.images import generate_webp_images
+
+    imgs = generate_webp_images(spark, _images_n(sf_dir))
+    feats = image_features(imgs).join(imgs.select("image_id", "label"), "image_id")
+    return feats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("luma_mean"))), 4).alias("avg_luma"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("mean_r"))), 4).alias("avg_r"),
+    )
+
+
+_WEBPF = "read_parquet('/tmp/mb_webpfeat_v1_400.parquet/*.parquet')"
+
+
+@register(
+    "webp_feature_stats",
+    f"""
+    SELECT label,
+           count(*) AS n,
+           CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           round(avg(CASE WHEN decode_ok THEN luma_mean END), 4) AS avg_luma,
+           round(avg(CASE WHEN decode_ok THEN mean_r END), 4) AS avg_r
+    FROM {_WEBPF}
+    GROUP BY label
+    """,
+)
+def webp_feature_stats(spark, sf_dir: str) -> DataFrame:
+    """Per-label profile of the lossless-WebP fixture through the REAL
+    pure-numpy VP8L decode (canonical prefix codes + LZ77 + predictor /
+    subtract-green / color-indexing inverses): decode rate (planted
+    signature corruption and mid-bitstream truncation both land as
+    decode_ok=false) + channel/luma means. Aggregates the materialized
+    feature relation the oracle also reads."""
+    feats = spark.read.parquet(webp_features_parquet(spark, sf_dir))
     return feats.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),

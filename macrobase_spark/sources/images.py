@@ -174,3 +174,55 @@ def generate_jpeg_images(
 
     parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def generate_webp_images(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic lossless-WebP table — exercises the pure-numpy VP8L
+    codec (operators/webp.encode_webp/decode_webp) end-to-end, cycling the
+    encoder's stream flavors so the decoder's transform/backref machinery
+    all stays on the tested path:
+    i%5==0 literal, ==1 subtract-green, ==2 predictor (block-mapped modes),
+    ==3 color-indexing (posterized to <=16 colors: 4-bit pixel bundling),
+    ==4 run-length LZ77 over a posterized image.
+
+    Planted violations (disjoint residues from the PPM/PNG/JPEG fixtures'):
+    - corrupt payload    id % 101 == 19 (VP8L signature byte flipped)
+    - truncated payload  id % 139 == 29 (blob cut mid-bitstream)
+    """
+    from macrobase_spark.operators.webp import encode_webp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = SIZES[i % len(SIZES)]
+                img = image_array(i, w, h)
+                f = i % 5
+                if f == 0:
+                    raw = encode_webp(img)
+                elif f == 1:
+                    raw = encode_webp(img, subtract_green=True)
+                elif f == 2:
+                    raw = encode_webp(img, predictor=True, subtract_green=True)
+                elif f == 3:
+                    raw = encode_webp((img // 64) * 64, palette=True)
+                else:
+                    raw = encode_webp((img // 64) * 64, use_rle=True)
+                if i % 101 == 19:  # corrupt: flip the VP8L signature byte
+                    b = bytearray(raw)
+                    b[raw.index(b"VP8L") + 8] ^= 0xFF
+                    raw = bytes(b)
+                elif i % 139 == 29:  # truncated mid-bitstream
+                    raw = raw[: len(raw) // 2]
+                rows.append(
+                    (f"webp_{i:010d}", raw, w, h, "webp", LABELS[i % len(LABELS)])
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "width", "height", "fmt", "label"]
+            )
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)

@@ -33,8 +33,11 @@ def test_ppm_roundtrip_and_corruption():
     assert decode_ppm(b"garbage") is None
     assert decode_ppm(raw[: len(raw) // 2]) is None  # truncated body
     assert decode_ppm(None) is None
+    # webp is REAL now (operators/webp.py, lossless VP8L): corrupt input
+    # returns None; only genuinely-unimplementable formats keep the stub
+    assert decode_compressed_image("webp", b"RIFF....WEBP") is None
     with pytest.raises(NotImplementedError):
-        decode_compressed_image("webp", b"RIFF....WEBP")
+        decode_compressed_image("avif", b"....ftypavif")
 
 
 def test_resize_nearest_exact():
@@ -103,11 +106,9 @@ def test_png_roundtrip_and_filters():
     assert decode_png(raw[: len(raw) // 2]) is None  # truncated
     assert decode_png(b"garbage") is None
     assert decode_png(None) is None
-    # decode_compressed_image now REAL for png (and jpeg — test_jpeg.py);
-    # webp is the remaining honest stub
+    # decode_compressed_image now REAL for png, jpeg (test_jpeg.py), and
+    # lossless webp (test_webp.py)
     assert np.array_equal(decode_compressed_image("png", raw), img)
-    with pytest.raises(NotImplementedError):
-        decode_compressed_image("webp", b"RIFF....WEBP")
 
 
 def test_png_filters_1_to_4_and_layouts():
