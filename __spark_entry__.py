@@ -44,6 +44,7 @@ import macrobase_spark.operators.mfcc  # noqa: E402,F401
 import macrobase_spark.operators.drift  # noqa: E402,F401
 import macrobase_spark.operators.constraints  # noqa: E402,F401
 import macrobase_spark.plans.metrics_repo  # noqa: E402,F401
+import macrobase_spark.sources.icetable  # noqa: E402,F401
 import macrobase_spark.functions.skew  # noqa: E402,F401
 
 

@@ -90,6 +90,8 @@ EXTRA = [
     "salted_user_sets_events",
     "ann_ivf_pq_topk",
     "webp_feature_stats",
+    "iceberg_time_travel_stats",
+    "iceberg_pruned_scan",
 ]
 
 
@@ -212,6 +214,7 @@ def main() -> int:
     import macrobase_spark.operators.sniff  # noqa: F401
     import macrobase_spark.functions.skew  # noqa: F401
     import macrobase_spark.operators.mfcc  # noqa: F401
+    import macrobase_spark.sources.icetable  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
