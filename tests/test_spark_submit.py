@@ -124,3 +124,38 @@ checks:
     assert by_c["has_pattern:clip_id"] == "pass"
     final = lines[-1]
     assert final["rows"] == 2000
+
+
+def test_spark_submit_iceberg_incremental(tmp_path, spark):
+    """Snapshot-grain resume over an icetable: the first run validates the
+    current snapshot; after an append, --resume validates ONLY the new
+    rows (incremental scan via the recorded high-water snapshot id); a
+    third run with nothing new is a no-op."""
+    from macrobase_spark.sources.clips import generate_clips
+    from macrobase_spark.sources.icetable import append, create_table
+
+    root = str(tmp_path / "ice")
+    clips = generate_clips(spark, 3000, max_payload_ms=50)
+    cut = f"clip_{2000:012d}"
+    create_table(
+        clips.filter("clip_id < '%s'" % cut), root,
+        partition_by=["codec"], stat_cols=["dur_ms"],
+    )
+
+    zpath = _zip_engine(tmp_path)
+    mdir = str(tmp_path / "manifest")
+    r1 = _submit(zpath, "--iceberg-root", root, "--manifest-dir", mdir, "--master", "local[4]")
+    assert r1["rows"] == 2000
+
+    append(clips.filter("clip_id >= '%s'" % cut), root)
+    r2 = _submit(
+        zpath, "--iceberg-root", root, "--manifest-dir", mdir,
+        "--master", "local[4]", "--resume",
+    )
+    assert r2["rows"] == 1000  # only the appended snapshot
+
+    r3 = _submit(
+        zpath, "--iceberg-root", root, "--manifest-dir", mdir,
+        "--master", "local[4]", "--resume",
+    )
+    assert r3.get("status") == "nothing to do"
