@@ -92,6 +92,8 @@ EXTRA = [
     "webp_feature_stats",
     "iceberg_time_travel_stats",
     "iceberg_pruned_scan",
+    "clips_constraint_suite",
+    "clips_schema_check",
 ]
 
 
@@ -215,6 +217,7 @@ def main() -> int:
     import macrobase_spark.functions.skew  # noqa: F401
     import macrobase_spark.operators.mfcc  # noqa: F401
     import macrobase_spark.sources.icetable  # noqa: F401
+    import macrobase_spark.operators.constraints  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

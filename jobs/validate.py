@@ -148,13 +148,25 @@ def main() -> int:
         from macrobase_spark.operators.constraints import suite_status, verify_config
 
         conf = yaml.safe_load(Path(args.constraints).read_text())
+        out: dict = {}
+        if conf.get("schema"):
+            from macrobase_spark.operators.constraints import (
+                schema_check,
+                schema_from_config,
+            )
+
+            cols, allow_extra, check_nullable = schema_from_config(conf["schema"])
+            out["schema_violations"] = [
+                r.asDict()
+                for r in schema_check(clips, cols, allow_extra, check_nullable).collect()
+            ]
         # column pruning is Catalyst's job: only columns the declared
         # constraints reference reach the scan (bytes stays out unless a
         # `satisfies` expression names it)
         res = verify_config(clips, conf)
-        results = [r.asDict() for r in res.collect()]
-        verdict_rows = {r["check"]: r["verdict"] for r in suite_status(res).collect()}
-        print(json.dumps({"constraint_results": results, "verdicts": verdict_rows}))
+        out["constraint_results"] = [r.asDict() for r in res.collect()]
+        out["verdicts"] = {r["check"]: r["verdict"] for r in suite_status(res).collect()}
+        print(json.dumps(out))
 
     run_manifest = RunManifest(args.manifest_dir)
     all_parts = [r["codec"] for r in clips.select("codec").distinct().collect()]

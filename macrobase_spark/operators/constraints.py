@@ -480,3 +480,129 @@ def verify_config(
     if group_by is None and isinstance(conf, dict):
         group_by = conf.get("group_by")
     return verify(df, checks_from_config(conf), group_by=group_by)
+
+
+# ---------------------------------------------------------------------------
+# schema validation — the "schema" half of "schema + constraint validation"
+# ---------------------------------------------------------------------------
+
+SCHEMA_VIOLATIONS_SCHEMA = (
+    "column string, issue string, expected string, actual string"
+)
+
+
+def schema_check(
+    df: DataFrame,
+    expected: list,
+    allow_extra: bool = True,
+    check_nullable: bool = False,
+) -> DataFrame:
+    """Declared-schema validation: expected column names/types (and
+    optionally nullability) vs the DataFrame's actual schema. `expected`
+    is a list of (name, type) tuples or {name, type, nullable} dicts, with
+    types as Spark simpleString names ('string', 'int', 'bigint',
+    'binary', ...). Returns one violation row per problem:
+
+        missing          declared column absent
+        type_mismatch    declared type != actual type
+        nullable_mismatch  declared non-nullable but actual nullable
+        unexpected       actual column not declared (allow_extra=False)
+
+    Pure metadata — compares the Catalyst schema on the driver, launches
+    NO job (at 10^12 rows a schema gate must never cost a scan); the
+    result is a tiny local DataFrame so it composes with the violation
+    sinks like every other check."""
+    exp = []
+    for e in expected:
+        if isinstance(e, dict):
+            exp.append((e["name"], e["type"], e.get("nullable", True)))
+        else:
+            name, typ = e[0], e[1]
+            exp.append((name, typ, e[2] if len(e) > 2 else True))
+    actual = {f.name: f for f in df.schema.fields}
+    rows = []
+    for name, typ, nullable in exp:
+        f = actual.get(name)
+        if f is None:
+            rows.append((name, "missing", typ, None))
+        elif f.dataType.simpleString() != typ:
+            rows.append((name, "type_mismatch", typ, f.dataType.simpleString()))
+        elif not nullable and f.nullable and check_nullable:
+            rows.append((name, "nullable_mismatch", "not null", "nullable"))
+    if not allow_extra:
+        declared = {name for name, _, _ in exp}
+        for f in df.schema.fields:
+            if f.name not in declared:
+                rows.append((f.name, "unexpected", None, f.dataType.simpleString()))
+    return df.sparkSession.createDataFrame(rows, SCHEMA_VIOLATIONS_SCHEMA)
+
+
+def schema_from_config(conf: dict) -> tuple[list, bool, bool]:
+    """Parse a config 'schema' block: {columns: [{name, type, nullable?}],
+    allow_extra?: bool, check_nullable?: bool} -> schema_check args."""
+    return (
+        conf.get("columns", []),
+        bool(conf.get("allow_extra", True)),
+        bool(conf.get("check_nullable", False)),
+    )
+
+
+# The oracle derives the ACTUAL schema independently from the parquet
+# footers (DuckDB DESCRIBE), mapped to Spark's type vocabulary — so the
+# check is certified against the file metadata, not against Spark's own
+# reading of it. The declared spec plants one wrong type (dur_ms declared
+# bigint, actually int), one missing column (language), and forbids
+# extras (codec is undeclared), so every issue class is exercised.
+_SCHEMA_EXPECTED = [
+    ("clip_id", "string"),
+    ("bytes", "binary"),
+    ("sr_hz", "int"),
+    ("dur_ms", "bigint"),
+    ("language", "string"),
+    ("transcript", "string"),
+]
+
+_SCHEMA_ORACLE = """
+WITH actual AS (
+  SELECT column_name AS col,
+         CASE column_type
+           WHEN 'VARCHAR' THEN 'string' WHEN 'BLOB' THEN 'binary'
+           WHEN 'INTEGER' THEN 'int' WHEN 'BIGINT' THEN 'bigint'
+           WHEN 'DOUBLE' THEN 'double' WHEN 'FLOAT' THEN 'float'
+           WHEN 'BOOLEAN' THEN 'boolean' WHEN 'TIMESTAMP' THEN 'timestamp'
+           ELSE lower(column_type) END AS dtype
+  FROM (DESCRIBE SELECT * FROM read_parquet('/tmp/mb_bench_clips_v2_10000.parquet/*.parquet'))
+),
+expected(col, dtype) AS (VALUES
+  ('clip_id', 'string'), ('bytes', 'binary'), ('sr_hz', 'int'),
+  ('dur_ms', 'bigint'), ('language', 'string'), ('transcript', 'string')
+)
+SELECT e.col AS "column", 'missing' AS issue, e.dtype AS expected,
+       NULL::VARCHAR AS actual
+FROM expected e LEFT JOIN actual a USING (col) WHERE a.col IS NULL
+UNION ALL
+SELECT e.col, 'type_mismatch', e.dtype, a.dtype
+FROM expected e JOIN actual a USING (col) WHERE e.dtype != a.dtype
+UNION ALL
+SELECT a.col, 'unexpected', NULL, a.dtype
+FROM actual a LEFT JOIN expected e USING (col) WHERE e.col IS NULL
+"""
+
+
+def _register_schema_query() -> None:
+    from macrobase_spark.queries import register
+
+    @register("clips_schema_check", _SCHEMA_ORACLE)
+    def clips_schema_check(spark, sf_dir):
+        """Declared-schema gate over the clips table: the oracle recomputes
+        the same violations from the parquet footers via DuckDB DESCRIBE
+        (independent of Spark's schema reading). The spec deliberately
+        plants a wrong type, a missing column, and an undeclared extra."""
+        from macrobase_spark.operators.clips_suite import clips_table
+
+        return schema_check(
+            clips_table(spark, sf_dir), _SCHEMA_EXPECTED, allow_extra=False
+        )
+
+
+_register_schema_query()

@@ -5,6 +5,7 @@ roll-up."""
 import pytest
 from pyspark.sql import functions as F
 
+from macrobase_spark.operators import constraints
 from macrobase_spark.operators.constraints import Check, suite_status, verify
 
 
@@ -208,3 +209,44 @@ def test_verify_config_group_by(df):
     }
     rows = {r["cat"]: r["status"] for r in verify_config(df, conf).collect()}
     assert rows == {"a": "pass", "b": "pass", "c": "fail", "z": "fail"}
+
+
+def test_schema_check_all_issue_classes(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 2.0)], "clip_id string, sr_hz int, extra double"
+    )
+    got = {
+        tuple(r)
+        for r in constraints.schema_check(
+            df,
+            [("clip_id", "string"), ("sr_hz", "bigint"), ("language", "string")],
+            allow_extra=False,
+        ).collect()
+    }
+    assert got == {
+        ("sr_hz", "type_mismatch", "bigint", "int"),
+        ("language", "missing", "string", None),
+        ("extra", "unexpected", None, "double"),
+    }
+    # a conforming schema yields zero violations (extras allowed)
+    ok = constraints.schema_check(
+        df, [("clip_id", "string"), ("sr_hz", "int")], allow_extra=True
+    )
+    assert ok.count() == 0
+
+
+def test_schema_check_nullable_and_dict_form(spark):
+    df = spark.createDataFrame([("a",)], "clip_id string")  # nullable column
+    viol = constraints.schema_check(
+        df,
+        [{"name": "clip_id", "type": "string", "nullable": False}],
+        check_nullable=True,
+    ).collect()
+    assert [(r["column"], r["issue"]) for r in viol] == [
+        ("clip_id", "nullable_mismatch")
+    ]
+    cols, allow_extra, check_nullable = constraints.schema_from_config(
+        {"columns": [{"name": "clip_id", "type": "string"}], "allow_extra": False}
+    )
+    assert not allow_extra and not check_nullable
+    assert constraints.schema_check(df, cols, allow_extra).count() == 0

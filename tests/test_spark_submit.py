@@ -91,6 +91,14 @@ def test_spark_submit_declared_constraints(tmp_path):
     conf = tmp_path / "checks.yaml"
     conf.write_text(
         """
+schema:
+  allow_extra: false
+  columns:
+    - {name: clip_id, type: string}
+    - {name: bytes, type: binary}
+    - {name: sr_hz, type: int}
+    - {name: dur_ms, type: bigint}   # wrong on purpose: actual is int
+    - {name: codec, type: string}
 checks:
   - name: schema
     constraints:
@@ -119,6 +127,9 @@ checks:
     lines = [json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")]
     cres = next(l for l in lines if "constraint_results" in l)
     assert cres["verdicts"]["schema"] == "pass"
+    sv = {(r["column"], r["issue"]) for r in cres["schema_violations"]}
+    assert ("dur_ms", "type_mismatch") in sv
+    assert ("transcript", "unexpected") in sv
     by_c = {r["constraint"]: r["status"] for r in cres["constraint_results"]}
     assert by_c["has_size"] == "pass"
     assert by_c["has_pattern:clip_id"] == "pass"
