@@ -94,6 +94,8 @@ EXTRA = [
     "iceberg_pruned_scan",
     "clips_constraint_suite",
     "clips_schema_check",
+    "clips_incremental_stats",
+    "clips_metric_anomaly",
 ]
 
 
@@ -218,6 +220,7 @@ def main() -> int:
     import macrobase_spark.operators.mfcc  # noqa: F401
     import macrobase_spark.sources.icetable  # noqa: F401
     import macrobase_spark.operators.constraints  # noqa: F401
+    import macrobase_spark.plans.metrics_repo  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

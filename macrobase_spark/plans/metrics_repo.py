@@ -209,3 +209,200 @@ def _register_clips_query() -> None:
 
 
 _register_clips_query()
+
+
+# --------------------------------------------------------------------------
+# Metric history + anomaly checks (the Deequ-style anomaly gate): a table's
+# profile is recorded per run, and today's metrics are judged against the
+# trailing runs — "row count within tolerance of its recent median", not a
+# hand-maintained absolute bound. At 10^12 rows absolute thresholds rot;
+# the history relation stays tiny (runs x columns x metrics), so every
+# statistic here is exact, declarative, and costs no data scan.
+# --------------------------------------------------------------------------
+
+PROFILE_HISTORY_SCHEMA = "run_seq long, column string, metric string, value double"
+
+
+def profile_long(profile: DataFrame, metrics: list[str]) -> DataFrame:
+    """Melt a merge_profile()-shaped row-per-column relation into
+    (column, metric, value) long form — the history/anomaly vocabulary."""
+    structs = [
+        F.struct(F.lit(m).alias("metric"), F.col(m).cast("double").alias("value"))
+        for m in metrics
+    ]
+    return profile.select(
+        "column", F.explode(F.array(*structs)).alias("s")
+    ).select("column", "s.metric", "s.value")
+
+
+def record_profile(profile: DataFrame, path: str, run_seq: int, metrics: list[str]) -> None:
+    """Append one run's profile (long form) to the history relation —
+    same append-only parquet contract as the run manifest."""
+    profile_long(profile, metrics).select(
+        F.lit(run_seq).cast("long").alias("run_seq"), "column", "metric", "value"
+    ).write.mode("append").parquet(path)
+
+
+def anomaly_check(
+    history: DataFrame,
+    current: DataFrame,
+    method: str = "mad",
+    threshold: float = 3.0,
+    window: int | None = None,
+) -> DataFrame:
+    """Judge each (column, metric) of `current` (long form) against the
+    trailing `window` runs of `history`:
+
+    - method='relative': anomaly iff |value - median| / |median| > threshold
+    - method='mad':      anomaly iff |value - median| > threshold * MAD
+                         (robust z-score; MAD==0 degrades to exact-match:
+                         any deviation from a constant history is anomalous)
+    - method='stddev':   anomaly iff |value - mean| > threshold * stddev
+                         (sample stddev; needs >= 2 runs, else never fires)
+
+    All statistics are EXACT percentiles/moments over the tiny history
+    relation — fully declarative (two aggregations + one broadcast join),
+    no collect. Returns (column, metric, value, baseline, deviation,
+    status, n_history); metrics with no history rows pass (status 'ok',
+    baseline null) so a first run never self-flags."""
+    h = history
+    if window is not None:
+        mx = h.agg(F.max("run_seq").alias("m"))
+        h = h.join(F.broadcast(mx)).filter(
+            F.col("run_seq") > F.col("m") - window
+        ).drop("m")
+    med = h.groupBy("column", "metric").agg(
+        F.expr("percentile(value, 0.5)").alias("__med"),
+        F.avg("value").alias("__mean"),
+        F.stddev("value").alias("__sd"),
+        F.count(F.lit(1)).alias("n_history"),
+    )
+    if method == "mad":
+        mad = (
+            h.join(F.broadcast(med.select("column", "metric", "__med")), ["column", "metric"])
+            .groupBy("column", "metric")
+            .agg(F.expr("percentile(abs(value - __med), 0.5)").alias("__mad"))
+        )
+        med = med.join(mad, ["column", "metric"])
+    j = current.join(F.broadcast(med), ["column", "metric"], "left")
+    if method == "relative":
+        dev = F.abs(F.col("value") - F.col("__med")) / F.abs(F.col("__med"))
+        is_anom = dev > threshold
+        baseline = F.col("__med")
+    elif method == "mad":
+        dev = F.abs(F.col("value") - F.col("__med"))
+        is_anom = F.when(F.col("__mad") > 0, dev > threshold * F.col("__mad")).otherwise(
+            dev > 0
+        )
+        baseline = F.col("__med")
+    elif method == "stddev":
+        dev = F.abs(F.col("value") - F.col("__mean"))
+        is_anom = dev > threshold * F.col("__sd")
+        baseline = F.col("__mean")
+    else:
+        raise ValueError(f"unknown anomaly method {method!r}")
+    return j.select(
+        "column",
+        "metric",
+        "value",
+        F.round(baseline, 6).alias("baseline"),
+        F.round(dev, 6).alias("deviation"),
+        F.when(F.col("n_history").isNull() | ~is_anom.eqNullSafe(F.lit(True)), "ok")
+        .otherwise("anomaly")
+        .alias("status"),
+        F.coalesce("n_history", F.lit(0)).alias("n_history"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered query: the anomaly gate replayed by DuckDB over the same
+# scored relation. History = three deterministic prefixes of the table
+# (clip_id cuts), current = the full table: the row count and sums grew
+# ~11% past the trailing median (> the 5% tolerance -> anomaly) while min
+# stays flat (-> ok), so both verdicts are exercised. Every statistic is
+# integral-exact (counts, integer sums, median-of-3), so the comparison is
+# value-exact after the engine-wide round-to-6.
+# --------------------------------------------------------------------------
+
+_ANOM_COLS = ["dur_ms", "sr_hz"]
+_ANOM_CUTS = [8000, 9000, 9500]
+
+
+def _slice_profile_long(df: DataFrame, cols: list[str]) -> DataFrame:
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(c).cast("double").alias(f"__sum_{c}"),
+            F.min(c).cast("double").alias(f"__min_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.lit(m).alias("metric"),
+                 F.col(f"__{m}_{c}" if m != "n_rows" else "__n").alias("value"))
+        for c in cols
+        for m in ("n_rows", "sum", "min")
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def _anom_oracle() -> str:
+    legs = []
+    for seq, cut in enumerate(_ANOM_CUTS, 1):
+        pred = f"clip_id < 'clip_{cut:012d}'"
+        for c in _ANOM_COLS:
+            legs += [
+                f"SELECT {seq} AS run_seq, '{c}' AS \"column\", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM s WHERE {pred}",
+                f"SELECT {seq}, '{c}', 'sum', CAST(sum({c}) AS DOUBLE) FROM s WHERE {pred}",
+                f"SELECT {seq}, '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM s WHERE {pred}",
+            ]
+    cur = []
+    for c in _ANOM_COLS:
+        cur += [
+            f"SELECT '{c}' AS \"column\", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM s",
+            f"SELECT '{c}', 'sum', CAST(sum({c}) AS DOUBLE) FROM s",
+            f"SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM s",
+        ]
+    hist = " UNION ALL ".join(legs)
+    curq = " UNION ALL ".join(cur)
+    return f"""
+    WITH s AS (SELECT * FROM {_S}),
+    hist AS ({hist}),
+    cur AS ({curq}),
+    med AS (SELECT "column", metric, median(value) AS m,
+                   CAST(count(*) AS BIGINT) AS nh
+            FROM hist GROUP BY 1, 2)
+    SELECT c."column", c.metric, c.value,
+           round(m, 6) AS baseline,
+           round(abs(c.value - m) / abs(m), 6) AS deviation,
+           CASE WHEN abs(c.value - m) / abs(m) > 0.05
+                THEN 'anomaly' ELSE 'ok' END AS status,
+           nh AS n_history
+    FROM cur c JOIN med USING ("column", metric)
+    """
+
+
+def _register_anomaly_query() -> None:
+    from macrobase_spark.queries import register
+
+    @register("clips_metric_anomaly", _anom_oracle())
+    def clips_metric_anomaly(spark, sf_dir):
+        """Trailing-window anomaly gate: profile three deterministic
+        prefixes of the scored table as the run history, then judge the
+        full table's metrics against the trailing median with a 5%
+        relative tolerance — counts/sums fire (the table grew ~11% past
+        the median), minima stay ok. The DuckDB oracle replays history,
+        median, deviation, and verdicts over the same parquet."""
+        from macrobase_spark.operators.clips_suite import scored_parquet
+
+        s = spark.read.parquet(scored_parquet(spark, sf_dir))
+        hist = None
+        for seq, cut in enumerate(_ANOM_CUTS, 1):
+            p = _slice_profile_long(
+                s.filter(F.col("clip_id") < f"clip_{cut:012d}"), _ANOM_COLS
+            ).select(F.lit(seq).cast("long").alias("run_seq"), "*")
+            hist = p if hist is None else hist.unionAll(p)
+        current = _slice_profile_long(s, _ANOM_COLS)
+        return anomaly_check(hist, current, method="relative", threshold=0.05)
+
+
+_register_anomaly_query()

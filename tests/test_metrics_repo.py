@@ -116,3 +116,59 @@ def test_all_null_column_state(spark, tmp_path):
     assert merged["val"]["n_null"] == 2
     assert merged["val"]["min"] == 2.0 and merged["val"]["max"] == 4.0
     assert merged["val"]["approx_distinct"] == 2
+
+
+def test_anomaly_check_methods(spark):
+    from macrobase_spark.plans.metrics_repo import anomaly_check
+
+    hist = spark.createDataFrame(
+        [(i, "c", "n_rows", float(v)) for i, v in enumerate([100, 102, 98, 101, 99], 1)]
+        + [(i, "c", "min", 1.0) for i in range(1, 6)],
+        "run_seq long, column string, metric string, value double",
+    )
+    cur = spark.createDataFrame(
+        [("c", "n_rows", 130.0), ("c", "min", 1.0), ("c", "fresh", 5.0)],
+        "column string, metric string, value double",
+    )
+    # relative: 130 vs median 100 -> 30% > 10% -> anomaly; min flat -> ok;
+    # a metric with NO history must pass (first run never self-flags)
+    rel = {
+        (r["metric"]): (r["status"], r["n_history"])
+        for r in anomaly_check(hist, cur, "relative", 0.10).collect()
+    }
+    assert rel["n_rows"] == ("anomaly", 5)
+    assert rel["min"] == ("ok", 5)
+    assert rel["fresh"] == ("ok", 0)
+    # mad: median 100, MAD = 1 -> |130-100| = 30 > 3*1 -> anomaly;
+    # constant history (MAD 0) degrades to exact-match
+    mad = {r["metric"]: r["status"] for r in anomaly_check(hist, cur, "mad", 3.0).collect()}
+    assert mad["n_rows"] == "anomaly" and mad["min"] == "ok"
+    cur2 = spark.createDataFrame(
+        [("c", "min", 1.0001)], "column string, metric string, value double"
+    )
+    assert anomaly_check(hist, cur2, "mad", 3.0).collect()[0]["status"] == "anomaly"
+    # stddev and trailing window: only the last 2 runs (101, 99) baseline
+    sd = anomaly_check(hist, cur, "stddev", 3.0, window=2).collect()
+    got = {r["metric"]: (r["status"], r["n_history"]) for r in sd}
+    assert got["n_rows"][1] == 2
+
+
+def test_record_profile_round_trip(spark, tmp_path):
+    from macrobase_spark.plans.metrics_repo import (
+        anomaly_check,
+        profile_long,
+        record_profile,
+    )
+
+    path = str(tmp_path / "hist")
+    prof = spark.createDataFrame(
+        [("dur_ms", 100, 0, 1.0, 50.0, 5000.0)],
+        "column string, n_rows long, n_null long, min double, max double, sum double",
+    )
+    record_profile(prof, path, 1, ["n_rows", "sum"])
+    record_profile(prof, path, 2, ["n_rows", "sum"])
+    hist = spark.read.parquet(path)
+    assert hist.count() == 4 and set(hist.columns) == {"run_seq", "column", "metric", "value"}
+    cur = profile_long(prof, ["n_rows", "sum"])
+    res = anomaly_check(hist, cur, "relative", 0.01)
+    assert all(r["status"] == "ok" for r in res.collect())  # unchanged profile
