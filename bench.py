@@ -96,6 +96,8 @@ EXTRA = [
     "clips_schema_check",
     "clips_incremental_stats",
     "clips_metric_anomaly",
+    "kde_outliers_embeddings",
+    "gmm_loglik_embeddings",
 ]
 
 
@@ -221,6 +223,7 @@ def main() -> int:
     import macrobase_spark.sources.icetable  # noqa: F401
     import macrobase_spark.operators.constraints  # noqa: F401
     import macrobase_spark.plans.metrics_repo  # noqa: F401
+    import macrobase_spark.operators.contrib_stats  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

@@ -1,0 +1,86 @@
+"""KDE + EM-GMM (the reference's contrib/ scorers): recovery on the
+reference's own 3-gaussians test data, density semantics on planted
+structure, and partitioning invariance of the Spark scorers."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from macrobase_spark.operators.contrib_stats import (
+    KDEModel,
+    fit_gmm,
+    fit_kde,
+    gmm_score,
+    gmm_scores,
+    kde_score,
+    kde_scores,
+)
+
+REF_3G = "/root/reference/contrib/src/test/resources/data/3gaussians-700points.csv.gz"
+REF_3G_CENTERS = [(2.0, 11.0), (1.0, 1.0), (10.0, 3.0)]
+
+
+def _load_3g() -> np.ndarray:
+    with gzip.open(REF_3G, "rt") as fh:
+        rows = [ln.strip().split(",") for ln in fh.readlines()[1:] if ln.strip()]
+    return np.array([[float(a), float(b)] for a, b in rows])
+
+
+def test_gmm_recovers_reference_centers():
+    """EM on the reference's own 3-gaussians corpus recovers the published
+    centers (3gaussians-700.points-centers.json): every true center within
+    0.5 of a fitted mean, weights near 1/3."""
+    X = _load_3g()
+    m = fit_gmm(X, k=3, seed=42)
+    for cx, cy in REF_3G_CENTERS:
+        d = np.sqrt(((m.means - np.array([cx, cy])) ** 2).sum(axis=1)).min()
+        assert d < 0.5, (cx, cy, m.means)
+    assert np.allclose(m.weights.sum(), 1.0)
+    assert m.weights.min() > 0.15
+
+
+def test_gmm_scores_rank_density():
+    """Points at a fitted center score (log-density) far above a point in
+    the void between clusters."""
+    X = _load_3g()
+    m = fit_gmm(X, k=3, seed=42)
+    at_center = gmm_scores(m, m.means)
+    void = gmm_scores(m, np.array([[5.0, 6.0], [-5.0, -5.0]]))
+    assert at_center.min() > void.max()
+
+
+def test_kde_density_semantics():
+    """KDE score is the negative kernel density: dense-cluster points score
+    more negative than far-outliers (which approach 0 from below), and the
+    score is never positive."""
+    rng = np.random.default_rng(3)
+    X = np.vstack([rng.normal(0, 0.5, (500, 2)), rng.normal(8, 0.5, (500, 2))])
+    m = fit_kde(X, proportion=0.25, seed=1)
+    dense = kde_scores(m, np.array([[0.0, 0.0], [8.0, 8.0]]))
+    far = kde_scores(m, np.array([[100.0, 100.0]]))
+    assert (dense < 0).all() and far[0] == 0.0
+    assert dense.max() < far[0]
+
+
+def test_kde_matches_reference_formula():
+    """Hand-check the score formula on a tiny fixed model: one population
+    point, unit bandwidth -> score(x) = -0.75^d * prod(1 - x_d^2)."""
+    m = KDEModel(population=np.zeros((1, 2)), h=np.ones(2))
+    x = np.array([[0.5, 0.0], [2.0, 0.0]])
+    got = kde_scores(m, x)
+    assert got[1] == 0.0
+    assert got[0] == pytest.approx(-(0.75**2) * (1 - 0.25) * 1.0)
+
+
+def test_spark_scorers_partition_invariant(spark):
+    rows = [(i, [float(v) for v in np.random.default_rng(i).normal(0, 1, 8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from macrobase_spark.operators.detectors import array_col_to_features
+
+    feats = [f"_f{i}" for i in range(8)]
+    fdf = array_col_to_features(df, "embedding", 8)
+    for scorer in (kde_score, gmm_score):
+        a = sorted(map(tuple, scorer(fdf, feats, ["vec_id"]).collect()))
+        b = sorted(map(tuple, scorer(fdf.repartition(13), feats, ["vec_id"]).collect()))
+        assert a == b and len(a) == 400
