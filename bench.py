@@ -98,6 +98,7 @@ EXTRA = [
     "clips_metric_anomaly",
     "kde_outliers_embeddings",
     "gmm_loglik_embeddings",
+    "kalman_smooth_events",
 ]
 
 
@@ -224,6 +225,7 @@ def main() -> int:
     import macrobase_spark.operators.constraints  # noqa: F401
     import macrobase_spark.plans.metrics_repo  # noqa: F401
     import macrobase_spark.operators.contrib_stats  # noqa: F401
+    import macrobase_spark.operators.kalman  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
