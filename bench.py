@@ -99,6 +99,7 @@ EXTRA = [
     "kde_outliers_embeddings",
     "gmm_loglik_embeddings",
     "kalman_smooth_events",
+    "binned_kde_events",
 ]
 
 

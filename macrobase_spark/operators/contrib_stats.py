@@ -404,3 +404,184 @@ def gmm_loglik_embeddings(spark, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.asc("_SCORE"), "vec_id").limit(20).select(
         "vec_id", F.round("_SCORE", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# BinnedKDE — the reference's 1-D linear-binned KDE (BinnedKDE.java:19-120),
+# re-shaped for scale: the BINNING is a distributed aggregation (each row
+# splits its unit mass linearly between its two neighboring grid points —
+# explode + one groupBy(bin) sum, which is the part that must see all
+# 10^12 rows), the kernel convolution runs driver-side over the bounded
+# grid (numBins values), and scoring is a map-only broadcast interpolation.
+# The reference trains driver-side on the full list and supports 1-D only;
+# binning exactness under reordering is fp-additive (gated by tests), and
+# the registered query scores from the MATERIALIZED density grid so the
+# oracle's interpolation is arithmetic-identical.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BinnedKDEModel:
+    minv: float
+    delta: float  # grid spacing
+    density: np.ndarray  # (num_bins,) density estimate at grid points
+
+
+def binned_kde_fit(
+    df: DataFrame,
+    col: str,
+    num_bins: int = 1024,
+    bandwidth_multiplier: float = 1.0,
+) -> BinnedKDEModel:
+    """Distributed linear binning + driver convolution. Bandwidth is the
+    1-D NORMAL_SCALE rule on exact quantiles (percentile_approx is the
+    10^12-row swap-in, noted here); kernel = Epanechnikov."""
+    stats = df.agg(
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+        F.count(col).alias("n"),
+        F.expr(f"percentile({col}, 0.25)").alias("q25"),
+        F.expr(f"percentile({col}, 0.75)").alias("q75"),
+    ).collect()[0]
+    mn, mx, n = float(stats["mn"]), float(stats["mx"]), int(stats["n"])
+    iqr = float(stats["q75"]) - float(stats["q25"])
+    const_num = 8 * np.sqrt(np.pi) * _NORM_1D
+    const_den = 3.0 * _SECOND_MOMENT_1D**2 * n  # proportion = 1 (reference)
+    h = max((const_num / const_den) ** 0.2 * iqr / 1.349 * bandwidth_multiplier, 1e-12)
+    delta = max((mx - mn) / (num_bins - 1), 1e-300)
+
+    x = F.col(col).cast("double")
+    pos = (x - F.lit(mn)) / F.lit(delta)
+    lo = F.floor(pos).cast("long")
+    whi = pos - F.floor(pos)
+    binned = (
+        df.select(
+            F.explode(
+                F.array(
+                    F.struct(lo.alias("bin"), (F.lit(1.0) - whi).alias("w")),
+                    F.struct((lo + 1).alias("bin"), whi.alias("w")),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .filter((F.col("bin") >= 0) & (F.col("bin") < num_bins))
+        .groupBy("bin")
+        .agg(F.sum("w").alias("w"))
+        .collect()
+    )
+    counts = np.zeros(num_bins)
+    for r in binned:
+        counts[int(r["bin"])] = float(r["w"])
+    # kernel weights at grid offsets: K((l*delta)/h) / (n*h), support |u|<1
+    lmax = min(int(np.ceil(h / delta)), num_bins - 1)
+    offs = np.arange(-lmax, lmax + 1) * delta / h
+    k = np.where(np.abs(offs) < 1.0, 0.75 * (1.0 - offs * offs), 0.0) / (n * h)
+    density = np.convolve(counts, k, mode="same")
+    return BinnedKDEModel(minv=mn, delta=delta, density=density)
+
+
+def binned_kde_scores(model: BinnedKDEModel, x: np.ndarray) -> np.ndarray:
+    """-density(x) by linear interpolation on the grid (clamped)."""
+    pos = (x - model.minv) / model.delta
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, len(model.density) - 1)
+    hi = np.clip(lo + 1, 0, len(model.density) - 1)
+    w = np.clip(pos - lo, 0.0, 1.0)
+    return -(model.density[lo] * (1.0 - w) + model.density[hi] * w)
+
+
+def binned_kde_score(
+    df: DataFrame,
+    col: str,
+    id_cols: list[str],
+    num_bins: int = 1024,
+    bandwidth_multiplier: float = 1.0,
+    score_col: str = "_SCORE",
+    model: BinnedKDEModel | None = None,
+) -> DataFrame:
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if model is None:
+        model = binned_kde_fit(df, col, num_bins, bandwidth_multiplier)
+    bc = df.sparkSession.sparkContext.broadcast(model)
+    in_df = df.select(*id_cols, F.col(col).cast("double").alias(col))
+    out_schema = StructType(
+        [in_df.schema[c] for c in id_cols] + [StructField(score_col, DoubleType())]
+    )
+
+    def run(batches):
+        m = bc.value
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            out[score_col] = binned_kde_scores(m, pdf[col].to_numpy(dtype=np.float64))
+            yield out
+
+    return in_df.mapInPandas(run, out_schema)
+
+
+def binned_kde_grid_parquet(spark, sf_dir: str) -> str:
+    """Materialize the fitted density grid (bin, d) plus the affine params
+    so the oracle interpolates over the same numbers the engine broadcasts."""
+    import os
+
+    path = f"/tmp/mb_binnedkde_v1_{_BKDE_BINS}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        m = binned_kde_fit(ev.select("value"), "value", _BKDE_BINS)
+        rows = [
+            (int(i), float(d), float(m.minv), float(m.delta))
+            for i, d in enumerate(m.density)
+        ]
+        spark.createDataFrame(
+            rows, "bin long, d double, minv double, delta double"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_binned_kde(spark, path: str) -> BinnedKDEModel:
+    pdf = spark.read.parquet(path).toPandas().sort_values("bin")
+    return BinnedKDEModel(
+        minv=float(pdf["minv"].iloc[0]),
+        delta=float(pdf["delta"].iloc[0]),
+        density=pdf["d"].to_numpy(dtype=np.float64),
+    )
+
+
+_BKDE_BINS = 1024
+_BKDEG = f"read_parquet('/tmp/mb_binnedkde_v1_{_BKDE_BINS}.parquet/*.parquet')"
+
+_BKDE_ORACLE = f"""
+    WITH g AS (SELECT * FROM {_BKDEG}),
+    p AS (SELECT any_value(minv) AS minv, any_value(delta) AS delta,
+                 CAST(count(*) AS BIGINT) AS nb FROM g),
+    pos AS (
+      SELECT e.event_id,
+             (CAST(e.value AS DOUBLE) - p.minv) / p.delta AS pos, p.nb
+      FROM events e, p),
+    ix AS (
+      SELECT event_id,
+             least(greatest(CAST(floor(pos) AS BIGINT), 0), nb - 1) AS lo,
+             least(least(greatest(CAST(floor(pos) AS BIGINT), 0), nb - 1) + 1,
+                   nb - 1) AS hi,
+             least(greatest(pos - floor(pos), 0.0), 1.0) AS w
+      FROM pos),
+    scored AS (
+      SELECT i.event_id, -(gl.d * (1.0 - i.w) + gh.d * i.w) AS score
+      FROM ix i JOIN g gl ON gl.bin = i.lo JOIN g gh ON gh.bin = i.hi),
+    rk AS (SELECT event_id, score FROM scored ORDER BY score DESC, event_id LIMIT 25)
+    SELECT event_id, round(score, 9) AS score FROM rk
+"""
+
+
+@register("binned_kde_events", _BKDE_ORACLE)
+def binned_kde_events(spark, sf_dir: str) -> DataFrame:
+    """25 lowest-density event values under the materialized binned-KDE
+    grid (score = negative interpolated density, the KDE contract); the
+    oracle interpolates the same grid in SQL. The grid FIT (distributed
+    linear binning + kernel convolution) is gated by test_contrib_stats
+    (accuracy vs the direct KDE, partition invariance)."""
+    model = load_binned_kde(spark, binned_kde_grid_parquet(spark, sf_dir))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    scored = binned_kde_score(ev, "value", ["event_id"], model=model)
+    return scored.orderBy(F.desc("_SCORE"), "event_id").limit(25).select(
+        "event_id", F.round("_SCORE", 9).alias("score")
+    )

@@ -6,6 +6,7 @@ import gzip
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from macrobase_spark.operators.contrib_stats import (
     KDEModel,
@@ -84,3 +85,41 @@ def test_spark_scorers_partition_invariant(spark):
         a = sorted(map(tuple, scorer(fdf, feats, ["vec_id"]).collect()))
         b = sorted(map(tuple, scorer(fdf.repartition(13), feats, ["vec_id"]).collect()))
         assert a == b and len(a) == 400
+
+
+def test_binned_kde_accuracy_and_outliers(spark):
+    """The binned estimate tracks the direct 1-D KDE on a bimodal sample,
+    and planted far-outliers get the highest (least-negative) scores."""
+    from macrobase_spark.operators.contrib_stats import (
+        binned_kde_fit,
+        binned_kde_score,
+        binned_kde_scores,
+    )
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate(
+        [rng.normal(0, 1, 2000), rng.normal(10, 1, 2000), [40.0, -30.0]]
+    )
+    df = spark.createDataFrame([(int(i), float(v)) for i, v in enumerate(vals)], "id long, v double")
+    m = binned_kde_fit(df, "v", num_bins=512)
+    # direct KDE at a few probe points (same bandwidth the model used is
+    # implicit in the grid; compare shapes via density ratios instead):
+    d0 = -binned_kde_scores(m, np.array([0.0]))[0]
+    d5 = -binned_kde_scores(m, np.array([5.0]))[0]
+    d10 = -binned_kde_scores(m, np.array([10.0]))[0]
+    assert d0 > 10 * d5 and d10 > 10 * d5  # modes dense, valley sparse
+    scored = binned_kde_score(df, "v", ["id"], model=m)
+    top = [r["id"] for r in scored.orderBy(F.desc("_SCORE"), "id").limit(2).collect()]
+    assert set(top) == {4000, 4001}  # the planted outliers (density ~ 0)
+
+
+def test_binned_kde_partition_invariant_fit(spark):
+    from macrobase_spark.operators.contrib_stats import binned_kde_fit
+
+    rng = np.random.default_rng(4)
+    rows = [(int(i), float(v)) for i, v in enumerate(rng.normal(0, 2, 3000))]
+    df = spark.createDataFrame(rows, "id long, v double")
+    a = binned_kde_fit(df.select("v"), "v", num_bins=256)
+    b = binned_kde_fit(df.repartition(19).select("v"), "v", num_bins=256)
+    assert a.minv == b.minv and a.delta == b.delta
+    assert np.allclose(a.density, b.density, rtol=1e-12, atol=1e-15)
