@@ -208,6 +208,39 @@ def main() -> int:
     )
     run_id = run_manifest.record(spark, rows, lineage=lineage)
     total_rows = sum(d["n_rows"] for d in by_part.values())
+
+    # metric-history anomaly gate: record this run's headline metrics and
+    # judge them against the trailing runs (relative-to-median, 50%
+    # tolerance — loose by design: a validation run's volume legitimately
+    # varies, and the gate is for order-of-magnitude surprises like an
+    # empty append or a violation explosion). First run never self-flags.
+    from macrobase_spark.plans.metrics_repo import anomaly_check, record_profile
+
+    hist_path = f"{args.manifest_dir.rstrip('/')}_profile_history"
+    viol_rate = n_viol / max(total_rows, 1)
+    prof = spark.createDataFrame(
+        [("run", int(total_rows), int(n_viol), float(viol_rate))],
+        "column string, n_rows long, n_violations long, violation_rate double",
+    )
+    metrics = ["n_rows", "n_violations", "violation_rate"]
+    anomalies = []
+    import os as _os
+
+    if _os.path.isdir(hist_path):
+        from macrobase_spark.plans.metrics_repo import profile_long
+
+        res = anomaly_check(
+            spark.read.parquet(hist_path), profile_long(prof, metrics),
+            method="relative", threshold=0.5, window=30,
+        )
+        anomalies = [r.asDict() for r in res.filter(F.col("status") == "anomaly").collect()]
+    prev_runs = (
+        spark.read.parquet(hist_path).agg(F.max("run_seq")).collect()[0][0]
+        if _os.path.isdir(hist_path)
+        else 0
+    )
+    record_profile(prof, hist_path, int(prev_runs or 0) + 1, metrics)
+
     print(
         json.dumps(
             {
@@ -217,6 +250,7 @@ def main() -> int:
                 "violations": n_viol,
                 "wall_clock_sec": round(wall, 2),
                 "clips_per_sec": round(total_rows / wall, 1),
+                "metric_anomalies": anomalies,
             }
         )
     )

@@ -170,3 +170,20 @@ def test_spark_submit_iceberg_incremental(tmp_path, spark):
         "--master", "local[4]", "--resume",
     )
     assert r3.get("status") == "nothing to do"
+
+
+def test_spark_submit_metric_anomaly_gate(tmp_path):
+    """Each run records its headline metrics; a run whose volume collapses
+    vs the trailing history is flagged in metric_anomalies (first runs
+    never self-flag)."""
+    zpath = _zip_engine(tmp_path)
+    mdir = str(tmp_path / "m")
+    r1 = _submit(zpath, "--n", "3000", "--manifest-dir", mdir, "--master", "local[4]")
+    assert r1["metric_anomalies"] == []
+    r2 = _submit(zpath, "--n", "3000", "--manifest-dir", str(tmp_path / "m2"),
+                 "--master", "local[4]")
+    assert r2["metric_anomalies"] == []  # separate manifest -> fresh history
+    # same manifest dir, tenth of the volume -> n_rows collapses vs median
+    r3 = _submit(zpath, "--n", "300", "--manifest-dir", mdir, "--master", "local[4]")
+    flagged = {a["metric"] for a in r3["metric_anomalies"]}
+    assert "n_rows" in flagged
