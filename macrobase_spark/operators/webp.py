@@ -487,11 +487,48 @@ def _predict(mode: int, L: np.ndarray, T: np.ndarray, TL: np.ndarray, TR: np.nda
     raise ValueError("invalid predictor mode")
 
 
+def _inverse_predictor_lt(res: np.ndarray, w: int, h: int, bits: int, sub: np.ndarray) -> np.ndarray:
+    """Fast exact path when every block mode is L(1) or T(2) — the common
+    encoder output: T segments are one vectorized row add, L segments are
+    a mod-256 cumulative sum seeded by the segment's left neighbor, so the
+    per-pixel Python loop collapses to ~(h * w/blocksize) numpy ops."""
+    bw = _div_round_up(w, 1 << bits)
+    modes = ((sub >> 8) & 0xFF).astype(np.int64).reshape(-1, bw)
+    r = np.stack(
+        [(res >> 24) & 0xFF, (res >> 16) & 0xFF, (res >> 8) & 0xFF, res & 0xFF],
+        axis=1,
+    ).astype(np.int64).reshape(h, w, 4)
+    out = np.zeros((h, w, 4), dtype=np.int64)
+    # row 0: (0,0) predicts black, then L across the row == one cumsum
+    out[0] = np.cumsum(r[0], axis=0)
+    out[0, :, 0] += 0xFF  # the black prediction's alpha carries into the sum
+    out[0] &= 0xFF
+    block = 1 << bits
+    for y in range(1, h):
+        out[y, 0] = (r[y, 0] + out[y - 1, 0]) & 0xFF  # column 0 uses T
+        x = 1
+        while x < w:
+            end = min((x // block + 1) * block, w)
+            m = int(modes[y >> bits, x >> bits])
+            if m == 2:
+                out[y, x:end] = (r[y, x:end] + out[y - 1, x:end]) & 0xFF
+            else:  # m == 1: seeded mod-256 cumulative sum
+                out[y, x:end] = (
+                    np.cumsum(r[y, x:end], axis=0) + out[y, x - 1]
+                ) & 0xFF
+            x = end
+    flat = out.reshape(-1, 4).astype(np.uint32)
+    return (flat[:, 0] << 24) | (flat[:, 1] << 16) | (flat[:, 2] << 8) | flat[:, 3]
+
+
 def _inverse_predictor(res: np.ndarray, w: int, h: int, bits: int, sub: np.ndarray) -> np.ndarray:
     """Scan-order reconstruction: pixel = residual + prediction (mod 256
     per channel). Spec edge rules: (0,0) predicts black; the rest of row 0
     uses L; column 0 uses T. TR at the right edge is the contiguous-array
     neighbor data[idx - w + 1] (== leftmost pixel of the same row)."""
+    used = set(int(m) for m in ((sub >> 8) & 0xFF))
+    if used <= {1, 2} and w > 1:
+        return _inverse_predictor_lt(res, w, h, bits, sub)
     bw = _div_round_up(w, 1 << bits)
     out = np.zeros(w * h, dtype=np.uint32)
     for idx in range(w * h):
@@ -722,23 +759,34 @@ def _forward_predictor(argb: np.ndarray, w: int, h: int, bits: int) -> tuple[np.
     bh_ = _div_round_up(h, 1 << bits)
     modes = np.fromfunction(lambda by, bx: ((bx + by) % 2) + 1, (bh_, bw_), dtype=np.int64)
     sub = (0xFF << 24) | (modes.reshape(-1).astype(np.uint32) << 8)
-    res = np.zeros_like(argb)
-    for idx in range(w * h):
-        x, y = idx % w, idx // w
-        if idx == 0:
-            pred = np.array([0xFF, 0, 0, 0], dtype=np.int64)
-        elif y == 0:
-            pred = _channels(int(argb[idx - 1]))
-        elif x == 0:
-            pred = _channels(int(argb[idx - w]))
-        else:
-            mode = int(modes[y >> bits, x >> bits])
-            L = _channels(int(argb[idx - 1]))
-            T = _channels(int(argb[idx - w]))
-            TL = _channels(int(argb[idx - w - 1]))
-            TR = _channels(int(argb[idx - w + 1]))
-            pred = _predict(mode, L, T, TL, TR)
-        res[idx] = _pack(_channels(int(argb[idx])) - pred)
+    # forward predictions use ORIGINAL pixels (the decoder reconstructs
+    # them progressively), so the whole residual image vectorizes: build
+    # the L and T neighbor images, select per pixel by the block map, then
+    # apply the edge rules (row 0 -> L, column 0 -> T, (0,0) -> black)
+    ch = np.stack(
+        [(argb >> 24) & 0xFF, (argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF],
+        axis=1,
+    ).astype(np.int64).reshape(h, w, 4)
+    L = np.empty_like(ch)
+    L[:, 1:] = ch[:, :-1]
+    L[:, 0] = 0
+    T = np.empty_like(ch)
+    T[1:] = ch[:-1]
+    T[0] = 0
+    mode_px = np.repeat(
+        np.repeat(modes, 1 << bits, axis=0)[:h], 1 << bits, axis=1
+    )[:, :w]
+    pred = np.where((mode_px == 1)[:, :, None], L, T)
+    pred[0, 1:] = L[0, 1:]
+    pred[1:, 0] = T[1:, 0]
+    pred[0, 0] = np.array([0xFF, 0, 0, 0])
+    resc = ((ch - pred) & 0xFF).astype(np.uint32)
+    res = (
+        (resc[:, :, 0] << 24)
+        | (resc[:, :, 1] << 16)
+        | (resc[:, :, 2] << 8)
+        | resc[:, :, 3]
+    ).reshape(-1)
     return res, sub
 
 
