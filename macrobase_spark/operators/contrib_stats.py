@@ -503,15 +503,23 @@ def binned_kde_score(
     if model is None:
         model = binned_kde_fit(df, col, num_bins, bandwidth_multiplier)
     bc = df.sparkSession.sparkContext.broadcast(model)
-    in_df = df.select(*id_cols, F.col(col).cast("double").alias(col))
-    out_schema = StructType(
-        [in_df.schema[c] for c in id_cols] + [StructField(score_col, DoubleType())]
-    )
+    if id_cols is None:  # classifier-chaining mode: keep every input column
+        in_df = df
+        keep = list(df.columns)
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(score_col, DoubleType())]
+        )
+    else:
+        in_df = df.select(*id_cols, F.col(col).cast("double").alias(col))
+        keep = list(id_cols)
+        out_schema = StructType(
+            [in_df.schema[c] for c in id_cols] + [StructField(score_col, DoubleType())]
+        )
 
     def run(batches):
         m = bc.value
         for pdf in batches:
-            out = pdf[id_cols].copy()
+            out = pdf[keep].copy()
             out[score_col] = binned_kde_scores(m, pdf[col].to_numpy(dtype=np.float64))
             yield out
 

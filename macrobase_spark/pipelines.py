@@ -323,6 +323,40 @@ def _get_chain_classifier(
             threshold=0.5 if p.get("binary", True) else None,
             output_col=out_col,
         )
+    if cid == "kde":
+        from macrobase_spark.operators.contrib_stats import kde_score
+
+        return kde_score(
+            df,
+            metric_cols,
+            None,
+            proportion=float(p.get("proportionOfDataToUse", 0.25)),
+            bandwidth_multiplier=float(p.get("bandwidthMultiplier", 1.0)),
+            train_rows=int(p.get("trainSize", 4096)),
+            score_col=out_col,
+        )
+    if cid in ("gmm", "em-gmm", "expectmaxgmm"):
+        from macrobase_spark.operators.contrib_stats import gmm_score
+
+        return gmm_score(
+            df,
+            metric_cols,
+            None,
+            k=int(p.get("numMixtures", 3)),
+            train_rows=int(p.get("trainSize", 4096)),
+            score_col=out_col,
+        )
+    if cid in ("binnedkde", "binned-kde"):
+        from macrobase_spark.operators.contrib_stats import binned_kde_score
+
+        return binned_kde_score(
+            df,
+            metric_cols[0],
+            None,
+            num_bins=int(p.get("numBins", 1024)),
+            bandwidth_multiplier=float(p.get("bandwidthMultiplier", 1.0)),
+            score_col=out_col,
+        )
     raise ValueError(f"bad chain classifier id {cid!r}")
 
 

@@ -241,3 +241,28 @@ def test_time_column_parsing(spark, tmp_path):
     vals = sorted(r["__autogenerated_time"] for r in out.collect())
     assert vals == [0.0, 1.0, 2.0]
     assert conf2["timeColumn"] == "__autogenerated_time"
+
+
+def test_chain_contrib_classifiers(spark):
+    """The config vocabulary reaches the contrib scorers: kde / gmm /
+    binnedkde chain links score every row and keep the input columns."""
+    import numpy as np
+
+    from macrobase_spark.pipelines import classify_chain
+
+    rng = np.random.default_rng(8)
+    rows = [
+        (int(i), float(rng.normal(0, 1)), float(rng.normal(5, 2)), "a" if i % 2 else "b")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, m1 double, m2 double, attr string")
+    for conf in (
+        [{"id": "kde", "metricColumns": ["m1", "m2"]}],
+        [{"id": "gmm", "metricColumns": ["m1", "m2"], "parameters": {"numMixtures": 2}}],
+        [{"id": "binnedkde", "metricColumns": ["m1"]}],
+    ):
+        out, col = classify_chain(df, conf)
+        res = out.collect()
+        assert len(res) == 500
+        assert {"id", "m1", "m2", "attr", col} <= set(out.columns)
+        assert all(r[col] is not None for r in res)
