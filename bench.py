@@ -100,6 +100,7 @@ EXTRA = [
     "gmm_loglik_embeddings",
     "kalman_smooth_events",
     "binned_kde_events",
+    "bayes_density_embeddings",
 ]
 
 

@@ -593,3 +593,178 @@ def binned_kde_events(spark, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("_SCORE"), "event_id").limit(25).select(
         "event_id", F.round("_SCORE", 9).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# BayesianNormalDensity — Normal-Wishart conjugate fit, Student-t predictive
+# (contrib/.../stats/BayesianNormalDensity.java:18-89 +
+# distribution/MultivariateTDistribution.java:20-46). The reference's prior
+# is fixed (zero mean, unit scale, dof 1, identity covariance) and its
+# integer N/2 truncations are reproduced as written. score = 1 / density
+# (BayesianNormalDensity.java:82-84); the registered query compares in LOG
+# space (monotone in the reference score) so the oracle's round-to-6 sits
+# on ~O(10) magnitudes instead of the raw score's ~1/density blow-up.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BayesNormalModel:
+    mean: np.ndarray  # (d,) posterior/Student-t location
+    prec: np.ndarray  # (d, d) precision of the Student-t scale matrix
+    dof: float  # Student-t degrees of freedom
+    log_mult: float  # log of the reference's density multiplier
+
+
+def fit_bayesian_normal(X: np.ndarray) -> BayesNormalModel:
+    from math import lgamma, log, pi
+
+    n, d = X.shape
+    prior_mean = np.zeros(d)
+    prior_scale = 1.0
+    prior_dof = 1
+    prior_cov = np.eye(d)
+    sample_sum = X.sum(axis=0)
+    sample_mean = sample_sum / n
+    diffs = X - sample_mean
+    cov_sum = diffs.T @ diffs
+    post_scale = prior_scale + n
+    post_mean = (sample_sum + prior_mean * prior_scale) / post_scale
+    post_dof = prior_dof + n // 2  # reference integer division
+    md = sample_mean - prior_mean
+    post_cov = (
+        prior_cov
+        + 0.5 * cov_sum
+        + np.outer(md, md) * ((n // 2) * prior_scale / post_scale)
+    )
+    t_scale = (post_scale + 1) / post_scale / (post_dof + 1 - 0.5 * d)
+    t_cov = post_cov * t_scale
+    t_dof = post_dof - d + 1
+    sign, logdet = np.linalg.slogdet(t_cov)
+    log_mult = (
+        lgamma(0.5 * (d + t_dof))
+        - lgamma(0.5 * t_dof)
+        - 0.5 * d * log(pi * t_dof)
+        - 0.5 * logdet
+    )
+    return BayesNormalModel(
+        mean=post_mean, prec=np.linalg.inv(t_cov), dof=float(t_dof), log_mult=log_mult
+    )
+
+
+def bayes_log_scores(model: BayesNormalModel, X: np.ndarray) -> np.ndarray:
+    """log(reference score) = -log density = ((dof+D)/2)*log1p(quad/dof)
+    - log_mult — monotone in the reference's 1/density."""
+    r = X - model.mean
+    quad = np.einsum("ni,ij,nj->n", r, model.prec, r)
+    d = X.shape[1]
+    return ((model.dof + d) / 2.0) * np.log1p(quad / model.dof) - model.log_mult
+
+
+def bayes_scores(model: BayesNormalModel, X: np.ndarray) -> np.ndarray:
+    """The reference's score: 1 / Student-t density."""
+    return np.exp(bayes_log_scores(model, X))
+
+
+_SCORERS["bayes"] = bayes_scores
+
+
+def bayes_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_cols: list[str] | None,
+    train_rows: int = 4096,
+    seed: int = 42,
+    score_col: str = "_SCORE",
+    model: BayesNormalModel | None = None,
+) -> DataFrame:
+    if model is None:
+        sample = _collect_sample(df, feature_cols, train_rows, seed)
+        model = fit_bayesian_normal(sample[np.lexsort(sample.T[::-1])])
+    return _score_with(df, feature_cols, id_cols, model, "bayes", score_col)
+
+
+def bayes_model_parquet(spark, sf_dir: str) -> str:
+    """Materialize (i, j, p, mu_i, mu_j, dof, log_mult) — the MCD recipe
+    with the Student-t constants carried per row."""
+    import os
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_bayes_model_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        feats = [f"_f{i}" for i in range(_DIMS)]
+        df = array_col_to_features(e, "embedding", _DIMS)
+        sample = _collect_sample(df, feats, 4096, 42)
+        m = fit_bayesian_normal(sample[np.lexsort(sample.T[::-1])])
+        rows = [
+            (i, j, float(m.prec[i, j]), float(m.mean[i]), float(m.mean[j]),
+             float(m.dof), float(m.log_mult))
+            for i in range(_DIMS)
+            for j in range(_DIMS)
+        ]
+        spark.createDataFrame(
+            rows, "i long, j long, p double, mu_i double, mu_j double, dof double, log_mult double"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_bayes_model(spark, path: str) -> BayesNormalModel:
+    pdf = spark.read.parquet(path).toPandas().sort_values(["i", "j"])
+    d = int(pdf["i"].max()) + 1
+    return BayesNormalModel(
+        mean=pdf.drop_duplicates("i").sort_values("i")["mu_i"].to_numpy(dtype=np.float64),
+        prec=pdf["p"].to_numpy(dtype=np.float64).reshape(d, d),
+        dof=float(pdf["dof"].iloc[0]),
+        log_mult=float(pdf["log_mult"].iloc[0]),
+    )
+
+
+_BAYM = "read_parquet('/tmp/mb_bayes_model_v1_500.parquet/*.parquet')"
+
+_BAYES_ORACLE = f"""
+    WITH m AS (SELECT * FROM {_BAYM}),
+    c AS (SELECT any_value(dof) AS dof, any_value(log_mult) AS log_mult FROM m),
+    terms AS (
+      SELECT e.vec_id,
+             (CAST(e.embedding[m.i + 1] AS DOUBLE) - m.mu_i) * m.p *
+             (CAST(e.embedding[m.j + 1] AS DOUBLE) - m.mu_j) AS term
+      FROM embeddings e CROSS JOIN m),
+    q AS (SELECT vec_id, sum(term) AS quad FROM terms GROUP BY vec_id),
+    scored AS (
+      SELECT q.vec_id,
+             ((c.dof + {_DIMS}) / 2.0) * ln(1.0 + q.quad / c.dof) - c.log_mult AS log_score
+      FROM q, c),
+    rk AS (SELECT vec_id, log_score FROM scored ORDER BY log_score DESC, vec_id LIMIT 20)
+    SELECT vec_id, round(log_score, 6) AS log_score FROM rk
+"""
+
+
+@register("bayes_density_embeddings", _BAYES_ORACLE)
+def bayes_density_embeddings(spark, sf_dir: str) -> DataFrame:
+    """20 lowest Student-t predictive densities under the materialized
+    Normal-Wishart posterior (log of the reference's 1/density score —
+    same ranking); the oracle restates the precision quadratic form and
+    the log-density constants in SQL."""
+    model = load_bayes_model(spark, bayes_model_parquet(spark, sf_dir))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feats = [f"_f{i}" for i in range(_DIMS)]
+    df = array_col_to_features(e, "embedding", _DIMS)
+    bc = spark.sparkContext.broadcast(model)
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("log_score", DoubleType())]
+    )
+
+    def run(batches):
+        m = bc.value
+        for pdf in batches:
+            X = pdf[feats].to_numpy(dtype=np.float64)
+            yield __import__("pandas").DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "log_score": bayes_log_scores(m, X)}
+            )
+
+    scored = df.select("vec_id", *feats).mapInPandas(run, schema)
+    return scored.orderBy(F.desc("log_score"), "vec_id").limit(20).select(
+        "vec_id", F.round("log_score", 6).alias("log_score")
+    )

@@ -123,3 +123,37 @@ def test_binned_kde_partition_invariant_fit(spark):
     b = binned_kde_fit(df.repartition(19).select("v"), "v", num_bins=256)
     assert a.minv == b.minv and a.delta == b.delta
     assert np.allclose(a.density, b.density, rtol=1e-12, atol=1e-15)
+
+
+def test_bayesian_normal_density():
+    """Posterior predictive semantics: the fitted Student-t centers near
+    the sample mean, in-distribution points get far lower 1/density scores
+    than a far outlier, and log scores are exactly log of the reference
+    score."""
+    from macrobase_spark.operators.contrib_stats import (
+        bayes_log_scores,
+        bayes_scores,
+        fit_bayesian_normal,
+    )
+
+    rng = np.random.default_rng(13)
+    X = rng.normal([2.0, -1.0], [1.0, 0.5], (2000, 2))
+    m = fit_bayesian_normal(X)
+    assert np.allclose(m.mean, [2.0, -1.0], atol=0.1)
+    inn = bayes_scores(m, np.array([[2.0, -1.0]]))
+    out = bayes_scores(m, np.array([[30.0, 30.0]]))
+    assert out[0] > 1e6 * inn[0]
+    ls = bayes_log_scores(m, np.array([[2.0, -1.0], [5.0, 0.0]]))
+    assert np.allclose(np.exp(ls), bayes_scores(m, np.array([[2.0, -1.0], [5.0, 0.0]])))
+
+
+def test_bayes_spark_scorer(spark):
+    from macrobase_spark.operators.contrib_stats import bayes_score
+    from macrobase_spark.operators.detectors import array_col_to_features
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    feats = [f"_f{i}" for i in range(8)]
+    df = array_col_to_features(emb, "embedding", 8)
+    a = sorted(map(tuple, bayes_score(df, feats, ["vec_id"]).collect()))
+    b = sorted(map(tuple, bayes_score(df.repartition(11), feats, ["vec_id"]).collect()))
+    assert a == b and len(a) == 500
