@@ -768,3 +768,57 @@ def bayes_density_embeddings(spark, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("log_score"), "vec_id").limit(20).select(
         "vec_id", F.round("log_score", 6).alias("log_score")
     )
+
+
+def gmm_assign(model: GMMModel, X: np.ndarray) -> np.ndarray:
+    """Hard component assignment: argmax_k log(phi_k) + log N_k(x) — the
+    contrib MixtureGroupClassifier's grouping rule (it labels each datum
+    with the mixture component responsible for it)."""
+    logp = np.stack(
+        [
+            np.log(model.weights[j]) + _gauss_log_density(X, model.means[j], model.covs[j])
+            for j in range(len(model.weights))
+        ],
+        axis=1,
+    )
+    return logp.argmax(axis=1)
+
+
+def gmm_group_classify(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_cols: list[str] | None,
+    k: int = 3,
+    train_rows: int = 4096,
+    seed: int = 42,
+    out_col: str = "_GROUP",
+    model: GMMModel | None = None,
+) -> DataFrame:
+    """Label every row with its responsible mixture component (map-only,
+    broadcast model) — the group column then feeds the explainers like any
+    other attribute."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if model is None:
+        sample = _collect_sample(df, feature_cols, train_rows, seed)
+        model = fit_gmm(sample[np.lexsort(sample.T[::-1])], k=k, seed=seed)
+    bc = df.sparkSession.sparkContext.broadcast(model)
+    if id_cols is None:
+        in_df = df
+        keep = list(df.columns)
+        out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+    else:
+        in_df = df.select(*id_cols, *feature_cols)
+        keep = list(id_cols)
+        out_schema = StructType(
+            [in_df.schema[c] for c in id_cols] + [StructField(out_col, LongType())]
+        )
+
+    def run(batches):
+        m = bc.value
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out[out_col] = gmm_assign(m, pdf[feature_cols].to_numpy(dtype=np.float64))
+            yield out
+
+    return in_df.mapInPandas(run, out_schema)

@@ -157,3 +157,26 @@ def test_bayes_spark_scorer(spark):
     a = sorted(map(tuple, bayes_score(df, feats, ["vec_id"]).collect()))
     b = sorted(map(tuple, bayes_score(df.repartition(11), feats, ["vec_id"]).collect()))
     assert a == b and len(a) == 500
+
+
+def test_gmm_group_classify(spark):
+    """Hard assignments recover the generating cluster of each point on
+    the reference's 3-gaussians corpus (up to label permutation)."""
+    from macrobase_spark.operators.contrib_stats import fit_gmm, gmm_group_classify
+
+    X = _load_3g()
+    m = fit_gmm(X, k=3, seed=42)
+    df = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(X)],
+        "id long, XX double, YY double",
+    )
+    out = gmm_group_classify(df, ["XX", "YY"], ["id"], model=m).toPandas()
+    assert set(out["_GROUP"].unique()) <= {0, 1, 2}
+    # points nearest each true center share one label ~purely
+    import numpy as np
+
+    ids = out.sort_values("id")["_GROUP"].to_numpy()
+    for cx, cy in REF_3G_CENTERS:
+        near = np.where(((X - [cx, cy]) ** 2).sum(axis=1) < 4.0)[0]
+        labels, counts = np.unique(ids[near], return_counts=True)
+        assert counts.max() / counts.sum() > 0.95
