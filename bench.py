@@ -101,6 +101,7 @@ EXTRA = [
     "kalman_smooth_events",
     "binned_kde_events",
     "bayes_density_embeddings",
+    "ann_ivf_pq_indexed",
 ]
 
 
@@ -133,6 +134,23 @@ def _bench_only_queries() -> dict:
         return ivf_topk(
             e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding",
             k=5, n_centroids=32, n_probe=8, centroids=C, index_path=path,
+        )
+
+    def ann_ivf_pq_indexed(spark, sf_dir):
+        """ann_ivf_pq_topk through the centroid-PARTITIONED on-disk CODE
+        index: probe filter = partition pruning AND the scanned rows are
+        ~8-byte PQ codes instead of float vectors (index build amortized
+        via /tmp cache)."""
+        from pyspark.sql import functions as F
+
+        from macrobase_spark.operators.pq import ivf_pq_index_dir, ivf_pq_topk
+
+        path, C, B = ivf_pq_index_dir(spark, sf_dir)
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_pq_topk(
+            e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+            k=5, n_centroids=32, n_probe=8, refine=50,
+            centroids=C, codebooks=B, index_path=path, lut_scale=1 << 20,
         )
 
     def dedup_simhash_prod(spark, sf_dir):
@@ -183,6 +201,8 @@ def _bench_only_queries() -> dict:
         )
 
     return {
+        "ann_ivf_indexed": ann_ivf_indexed,
+        "ann_ivf_pq_indexed": ann_ivf_pq_indexed,
         "dedup_simhash_prod": dedup_simhash_prod,
         "dedup_audio_content": dedup_audio_content,
         "clips_resample_stats": clips_resample_stats,

@@ -1,5 +1,6 @@
-"""KDE and EM-GMM density scorers — the reference's contrib/ module, which
-its own build disables (pom.xml:43), covered anyway.
+"""The reference's contrib/ density-model family — KDE, BinnedKDE, EM-GMM
+(scores + hard group assignment), and BayesianNormalDensity — which its
+own build disables (pom.xml:43), covered anyway.
 
 Reference semantics:
 - KDE (contrib/src/main/java/macrobase/analysis/stats/KDE.java:120-209):

@@ -550,3 +550,22 @@ def ann_ivf_pq_topk_q(spark, sf_dir):
         k=5, n_centroids=32, n_probe=8, m=_PQ_M, ks=_PQ_KS,
         refine=_PQ_REFINE, centroids=C, codebooks=B, lut_scale=_PQ_SCALE,
     )
+
+
+def ivf_pq_index_dir(spark, sf_dir: str) -> tuple[str, np.ndarray, np.ndarray]:
+    """Build (once) the centroid-PARTITIONED on-disk IVF-PQ code index for
+    the embeddings table — the amortized 100 TB shape: probes prune at the
+    scan (PartitionFilters) and the scanned rows are ~8-byte code rows,
+    never the float vectors. Reuses the certified quantizer/codebooks."""
+    import os
+
+    from macrobase_spark.operators.similarity import ivf_artifacts_parquet
+
+    _, _, C = ivf_artifacts_parquet(spark, sf_dir)
+    _, _, _, _, _, B = pq_artifacts_parquet(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    path = f"/tmp/mb_ivfpq_index_v1_{n}"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        ivf_pq_build_index(e, "vec_id", "embedding", C, B, path)
+    return path, C, B
