@@ -823,3 +823,83 @@ def gmm_group_classify(
             yield out
 
     return in_df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# TreeKDE — KD-tree-pruned KDE (contrib/.../stats/TreeKDE.java:14-106 +
+# analysis/index/KDTree.java:40-131): the tree splits the density
+# population on the widest dimension at the median (leaf capacity 2); a
+# node whose kernel bounds agree within `accuracy` contributes
+# 0.5*(wMin+wMax)*count without descending (with the compact Epanechnikov
+# support this prunes whole out-of-bandwidth subtrees exactly), leaves sum
+# exactly. Same -density score scale as kde_scores, so accuracy -> 0
+# recovers the exact KDE (pinned in tests).
+# ---------------------------------------------------------------------------
+
+
+class _KDNode:
+    __slots__ = ("lo_b", "hi_b", "n", "items", "lo", "hi")
+
+    def __init__(self, lo_b, hi_b, n, items=None, lo=None, hi=None):
+        self.lo_b, self.hi_b, self.n = lo_b, hi_b, n
+        self.items, self.lo, self.hi = items, lo, hi
+
+
+def _build_kdtree(X: np.ndarray, leaf_capacity: int = 2) -> _KDNode:
+    lo_b, hi_b = X.min(axis=0), X.max(axis=0)
+    if len(X) <= leaf_capacity:
+        return _KDNode(lo_b, hi_b, len(X), items=X)
+    dim = int(np.argmax(hi_b - lo_b))
+    order = np.argsort(X[:, dim], kind="stable")
+    mid = len(X) // 2
+    return _KDNode(
+        lo_b, hi_b, len(X),
+        lo=_build_kdtree(X[order[:mid]], leaf_capacity),
+        hi=_build_kdtree(X[order[mid:]], leaf_capacity),
+    )
+
+
+def tree_kde_scores(
+    model: KDEModel,
+    X: np.ndarray,
+    accuracy: float = 1e-5,
+    leaf_capacity: int = 2,
+    _tree: _KDNode | None = None,
+) -> np.ndarray:
+    """KD-tree-pruned scores on the kde_scores scale (-density)."""
+    d = X.shape[1]
+    inv_h = 1.0 / model.h  # u^2 = diff^2 / h
+    k0 = 0.75**d
+    tree = _tree if _tree is not None else _build_kdtree(model.population, leaf_capacity)
+    scale = 1.0 / (np.sqrt(np.prod(model.h)) * len(model.population))
+
+    def kern(diff: np.ndarray) -> float:
+        u2 = diff * diff * inv_h
+        if (u2 >= 1.0).any():
+            return 0.0
+        return k0 * float(np.prod(1.0 - u2))
+
+    def visit(node: _KDNode, x: np.ndarray) -> float:
+        d_lo = x - node.lo_b
+        d_hi = node.hi_b - x
+        min_d = np.where((d_lo > 0) & (d_hi > 0), 0.0, np.minimum(np.abs(d_lo), np.abs(d_hi)))
+        max_d = np.maximum(np.abs(d_lo), np.abs(d_hi))
+        w_min = kern(min_d)  # the LARGEST possible kernel value in the box
+        w_max = kern(max_d)  # the smallest
+        if w_min - w_max < accuracy:
+            return 0.5 * (w_min + w_max) * node.n
+        if node.items is not None:
+            return float(sum(kern(x - it) for it in node.items))
+        return visit(node.lo, x) + visit(node.hi, x)
+
+    return np.array([-visit(tree, x) * scale for x in X])
+
+
+def tree_kde_log_scores(
+    model: KDEModel, X: np.ndarray, accuracy: float = 1e-5, leaf_capacity: int = 2
+) -> np.ndarray:
+    """The reference TreeKDE.score scale: -(log unscaled + log scale) —
+    the negative log pdf (underflow-safe; TreeKDE.java:94-102)."""
+    dens = -tree_kde_scores(model, X, accuracy, leaf_capacity)
+    with np.errstate(divide="ignore"):
+        return -np.log(dens)

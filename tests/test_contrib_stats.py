@@ -180,3 +180,30 @@ def test_gmm_group_classify(spark):
         near = np.where(((X - [cx, cy]) ** 2).sum(axis=1) < 4.0)[0]
         labels, counts = np.unique(ids[near], return_counts=True)
         assert counts.max() / counts.sum() > 0.95
+
+
+def test_tree_kde_matches_exact_kde():
+    """accuracy -> 0 makes the tree traversal exact (leaf sums only differ
+    from the vectorized KDE in fp order), and a loose accuracy stays
+    within its bound while pruning whole subtrees."""
+    from macrobase_spark.operators.contrib_stats import (
+        fit_kde,
+        kde_scores,
+        tree_kde_log_scores,
+        tree_kde_scores,
+    )
+
+    rng = np.random.default_rng(17)
+    X = np.vstack([rng.normal(0, 1, (600, 3)), rng.normal(6, 1, (600, 3))])
+    m = fit_kde(X, proportion=0.5, seed=2)
+    probes = np.vstack([X[:50], np.array([[3.0, 3.0, 3.0], [50.0, 0.0, 0.0]])])
+    exact = kde_scores(m, probes)
+    tree0 = tree_kde_scores(m, probes, accuracy=0.0)
+    assert np.allclose(tree0, exact, rtol=1e-9, atol=1e-12)
+    # loose accuracy: per-population-point error bounded by accuracy
+    tree_l = tree_kde_scores(m, probes, accuracy=1e-3)
+    scale = 1.0 / (np.sqrt(np.prod(m.h)) * len(m.population))
+    assert np.abs(tree_l - exact).max() <= 1e-3 * len(m.population) * scale + 1e-12
+    # log scale is the reference's negative log pdf
+    ls = tree_kde_log_scores(m, probes[:3], accuracy=0.0)
+    assert np.allclose(np.exp(-ls), -exact[:3])
