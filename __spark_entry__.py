@@ -32,6 +32,7 @@ import macrobase_spark.operators.clips_suite  # noqa: E402,F401
 import macrobase_spark.operators.detectors  # noqa: E402,F401
 import macrobase_spark.operators.contrib_stats  # noqa: E402,F401
 import macrobase_spark.operators.kalman  # noqa: E402,F401
+import macrobase_spark.operators.arima  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401
