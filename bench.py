@@ -102,6 +102,10 @@ EXTRA = [
     "binned_kde_events",
     "bayes_density_embeddings",
     "ann_ivf_pq_indexed",
+    "arima_score_events",
+    "arima_ar2_forecast_events",
+    "benchmark_contamination",
+    "doc_repetition_stats",
 ]
 
 
@@ -248,6 +252,7 @@ def main() -> int:
     import macrobase_spark.plans.metrics_repo  # noqa: F401
     import macrobase_spark.operators.contrib_stats  # noqa: F401
     import macrobase_spark.operators.kalman  # noqa: F401
+    import macrobase_spark.operators.arima  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

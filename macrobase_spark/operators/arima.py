@@ -327,6 +327,42 @@ def arima_score_batch(
     )
 
 
+def arima_chain_score(
+    df: DataFrame,
+    metric_col: str,
+    order_col: str,
+    key_cols: list[str] | None = None,
+    window: int = 100,  # MacroBaseDefaults.TUPLE_WINDOW (legacy conf:34)
+    score_col: str = "_OUTLIER",
+    max_p: int = 3,
+    max_q: int = 2,
+    max_d: int = 2,
+) -> DataFrame:
+    """Chain-classifier flavor: every input column passes through and the
+    ARIMA relative-error score lands in `score_col` — the contract the
+    config-pipeline classifier chain expects. Unkeyed input runs as ONE
+    group (faithful to the reference's single-stream scorer; keyed input
+    is the scale path, like MCOD)."""
+    keys = list(key_cols or [])
+    gdf = df if keys else df.withColumn("_arima_g", F.lit(0))
+    gkeys = keys or ["_arima_g"]
+    schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in gdf.schema.fields]
+    schema = ", ".join(schema_parts + [f"{score_col} double"])
+
+    def fitter(w, h):
+        return forecast(fit_auto(np.asarray(w), max_p, max_q, max_d), np.asarray(w), h)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        vals = pdf[metric_col].to_numpy(dtype=np.float64)
+        scores, _ = arima_trace(vals, window, fitter)
+        pdf[score_col] = scores
+        return pdf
+
+    out = gdf.groupBy(*gkeys).applyInPandas(run, schema)
+    return out.drop("_arima_g") if not keys else out
+
+
 def stream_arima(
     stream: DataFrame,
     key_cols: list[str],

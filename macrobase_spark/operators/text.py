@@ -194,3 +194,137 @@ def doc_fingerprint_q(spark, sf_dir):
     return d.withColumn("_w", F.split(F.col("text"), " ")).select(
         "doc_id", fingerprint_expr("_w", 3).alias("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data hygiene: benchmark decontamination + intra-doc repetition
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams_expr(words_expr: str, n: int) -> Column:
+    """Distinct word n-grams of an array<string> column as array<string>
+    (pure expression — stays in codegen)."""
+    parts = ", ".join(f"{words_expr}[i + {k}]" for k in range(n))
+    # guard size < n explicitly: sequence(0, -1) generates a DESCENDING
+    # range (the count_sliding_window lesson), which would emit junk grams
+    return F.when(
+        F.expr(f"size({words_expr})") < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size({words_expr}) - {n}), "
+                f"i -> concat_ws(' ', {parts}))"
+            )
+        )
+    )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination sweep: flag corpus docs sharing word
+    n-grams with a benchmark/eval set — the standard guard against eval
+    leakage in a training corpus.
+
+    Scale design: the benchmark side is SMALL by nature (eval suites are
+    thousands of docs, not billions), so its distinct-shingle set is
+    broadcast and the corpus pass is map-only explode -> broadcast hash
+    join; the per-doc overlap count partial-aggregates map-side (shingles
+    of one doc stay in one scan partition). Nothing shuffles the corpus at
+    100 TB except the final (doc_id)-grain count."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_ngrams_expr(f"split({text_col}, ' ')", n)).alias("sh")
+        )
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        id_col,
+        F.explode(word_ngrams_expr(f"split({text_col}, ' ')", n)).alias("sh"),
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+
+
+def duplicate_ngram_fraction(words: Column, n: int, words_expr: str) -> Column:
+    """Gopher-style repetition signal: fraction of a document's word
+    n-grams that are duplicates of an earlier n-gram (0 = no repetition)."""
+    parts = ", ".join(f"{words_expr}[i + {k}]" for k in range(n))
+    all_grams = F.expr(
+        f"transform(sequence(0, greatest(size({words_expr}) - {n}, -1)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+    return F.when(
+        F.size(words) < n, F.lit(0.0)
+    ).otherwise(
+        1.0 - F.size(F.array_distinct(all_grams)) / F.size(all_grams).cast("double")
+    )
+
+
+@register(
+    "benchmark_contamination",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+          FROM w WHERE len(ws) >= 3),
+    bench AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM g JOIN bench USING (sh)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def benchmark_contamination_q(spark, sf_dir):
+    """Decontamination demo on the documents table: docs with
+    doc_id % 97 == 0 stand in for the benchmark; every other doc sharing a
+    word 3-gram with them is flagged with its overlap count."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return benchmark_contamination(corpus, bench, "text", "doc_id", 3)
+
+
+@register(
+    "doc_repetition_stats",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') ws FROM documents),
+    g AS (SELECT source,
+                 CASE WHEN len(ws) < 3 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                           / CAST(len(ws) - 2 AS DOUBLE) END AS rep
+          FROM w)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(rep), 6) AS avg_rep,
+           round(max(rep), 6) AS max_rep
+    FROM g GROUP BY source
+    """,
+)
+def doc_repetition_stats_q(spark, sf_dir):
+    """Per-source repetition profile (duplicate word-3-gram fraction per
+    doc, Gopher-style quality rule) — one codegen projection + one
+    partial-aggregated groupBy."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    rep = duplicate_ngram_fraction(words, 3, "split(text, ' ')")
+    return (
+        d.select("source", rep.alias("rep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("rep"), 6).alias("avg_rep"),
+            F.round(F.max("rep"), 6).alias("max_rep"),
+        )
+    )

@@ -357,6 +357,20 @@ def _get_chain_classifier(
             bandwidth_multiplier=float(p.get("bandwidthMultiplier", 1.0)),
             score_col=out_col,
         )
+    if cid == "arima":
+        from macrobase_spark.operators.arima import arima_chain_score
+
+        order_col = p.get("timeColumn") or p.get("orderColumn")
+        if not order_col:
+            raise ValueError("arima chain classifier requires timeColumn")
+        return arima_chain_score(
+            df,
+            metric_cols[0],
+            order_col,
+            key_cols=list(p.get("keyColumns") or []),
+            window=int(p.get("tupleWindow", 100)),  # TUPLE_WINDOW default
+            score_col=out_col,
+        )
     raise ValueError(f"bad chain classifier id {cid!r}")
 
 

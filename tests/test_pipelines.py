@@ -266,3 +266,43 @@ def test_chain_contrib_classifiers(spark):
         assert len(res) == 500
         assert {"id", "m1", "m2", "attr", col} <= set(out.columns)
         assert all(r[col] is not None for r in res)
+
+
+def test_chain_arima_classifier(spark):
+    """The 'arima' chain id scores a keyed time series through the config
+    vocabulary (tupleWindow + timeColumn) and keeps every input column;
+    the scores equal the operator run directly."""
+    import numpy as np
+
+    from macrobase_spark.operators.arima import arima_score_batch
+    from macrobase_spark.pipelines import classify_chain
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (f"k{i % 2}", int(i), float(30 + 5 * rng.normal()), "x" if i % 3 else "y")
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "key string, t long, value double, attr string")
+    out, col = classify_chain(
+        df,
+        [
+            {
+                "id": "arima",
+                "metricColumns": ["value"],
+                "parameters": {
+                    "timeColumn": "t",
+                    "keyColumns": ["key"],
+                    "tupleWindow": 40,
+                },
+            }
+        ],
+    )
+    res = out.collect()
+    assert len(res) == 160
+    assert {"key", "t", "value", "attr", col} <= set(out.columns)
+    want = {
+        (r["key"], r["t"], round(r["score"], 9))
+        for r in arima_score_batch(df, ["key"], "t", "value", 40).collect()
+    }
+    got = {(r["key"], r["t"], round(r[col], 9)) for r in res}
+    assert got == want
