@@ -33,6 +33,7 @@ import macrobase_spark.operators.detectors  # noqa: E402,F401
 import macrobase_spark.operators.contrib_stats  # noqa: E402,F401
 import macrobase_spark.operators.kalman  # noqa: E402,F401
 import macrobase_spark.operators.arima  # noqa: E402,F401
+import macrobase_spark.operators.vargmm  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401
@@ -93,6 +94,11 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     from macrobase_spark.operators.transcript import transcript_pairs_parquet
     from macrobase_spark.operators.mfcc import mfcc_parquet
+    from macrobase_spark.operators.vargmm import (
+        dpgmm_model_parquet,
+        vargmm_model_parquet,
+    )
+    from macrobase_spark.operators.arima import arima_predictions_parquet
 
     for mat in (
         scored_parquet,
@@ -116,6 +122,9 @@ def entry(spark: SparkSession) -> DataFrame:
         refout_artifacts_parquet,
         transcript_pairs_parquet,
         mfcc_parquet,
+        vargmm_model_parquet,
+        dpgmm_model_parquet,
+        arima_predictions_parquet,
     ):
         try:
             mat(spark, sf01)

@@ -106,6 +106,8 @@ EXTRA = [
     "arima_ar2_forecast_events",
     "benchmark_contamination",
     "doc_repetition_stats",
+    "vargmm_loglik_embeddings",
+    "dpgmm_loglik_embeddings",
 ]
 
 
@@ -253,6 +255,7 @@ def main() -> int:
     import macrobase_spark.operators.contrib_stats  # noqa: F401
     import macrobase_spark.operators.kalman  # noqa: F401
     import macrobase_spark.operators.arima  # noqa: F401
+    import macrobase_spark.operators.vargmm  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

@@ -357,6 +357,23 @@ def _get_chain_classifier(
             bandwidth_multiplier=float(p.get("bandwidthMultiplier", 1.0)),
             score_col=out_col,
         )
+    if cid in ("vargmm", "finitegmm", "dpgmm"):
+        from macrobase_spark.operators.vargmm import vargmm_score
+
+        return vargmm_score(
+            df,
+            metric_cols,
+            None,
+            k=int(
+                p.get("numMixtures", 2)
+                if cid != "dpgmm"
+                else p.get("truncatingParameter", 20)
+            ),
+            kind="dp" if cid == "dpgmm" else "finite",
+            concentration=float(p.get("concentrationParameter", 1.0)),
+            train_rows=int(p.get("trainSize", 4096)),
+            score_col=out_col,
+        )
     if cid == "arima":
         from macrobase_spark.operators.arima import arima_chain_score
 
