@@ -96,6 +96,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.mfcc import mfcc_parquet
     from macrobase_spark.operators.vargmm import (
         dpgmm_model_parquet,
+        stochdpgmm_model_parquet,
+        stochvargmm_model_parquet,
         vargmm_model_parquet,
     )
     from macrobase_spark.operators.arima import arima_predictions_parquet
@@ -124,6 +126,8 @@ def entry(spark: SparkSession) -> DataFrame:
         mfcc_parquet,
         vargmm_model_parquet,
         dpgmm_model_parquet,
+        stochvargmm_model_parquet,
+        stochdpgmm_model_parquet,
         arima_predictions_parquet,
     ):
         try:

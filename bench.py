@@ -108,6 +108,8 @@ EXTRA = [
     "doc_repetition_stats",
     "vargmm_loglik_embeddings",
     "dpgmm_loglik_embeddings",
+    "stochvargmm_loglik_embeddings",
+    "stochdpgmm_loglik_embeddings",
 ]
 
 

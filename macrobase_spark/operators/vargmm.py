@@ -38,6 +38,18 @@ mixture/):
   density(x) = sum_k w_k t(x; m_k, ((nu_k+1-D) beta_k/(1+beta_k) W_k)^-1,
   nu_k+1-D) with w the normalized proportions; score = ln density, or
   -10000 when the density underflows to zero (ZERO_LOG_SCORE).
+- Stochastic variational inference (StochVarFiniteGMM.java /
+  StochVarDPGMM.java → VariationalInference.trainTestStochastic:32-82):
+  per outer iteration pace = (iter + delay)^-forgettingRate; the data is
+  cut into `partitions = N / min(N, minibatchSize)` STRIDED minibatches
+  (element i of partition p is trainData[p + i*partitions]); each
+  minibatch does a local responsibility pass then natural-gradient steps
+  `moveNatural(r, pace, N/|minibatch|)` on both the mixing components
+  (MultiComponents.java:47-54, DPComponents.java:60-74) and the
+  Normal-Wishart atoms (NormalWishartClusters.java:227-256); termination
+  is the same BatchMixtureModel rule evaluated once per outer iteration.
+  Defaults minibatch=10000, delay=1.0, forgettingRate=0.9
+  (GMMConf.java:18-20).
 
 Spark shape: fit driver-side on the seeded bounded sample (the
 detectors.py contract — partitioning-invariant, a few KB of numpy),
@@ -167,6 +179,35 @@ class _NormalWishart:
             )
             self.omega[k] = np.linalg.inv(w_inv)
 
+    def move_natural(self, X: np.ndarray, r: np.ndarray, pace: float, repeat: float) -> None:
+        """Stochastic natural-gradient step (NormalWishartClusters.
+        moveNatural:233-253): targets computed from the minibatch scaled by
+        `repeat` = N/minibatch, blended at `pace`; the loc target divides by
+        the ALREADY-STEPPED beta, as the reference does."""
+        nk_raw = r.sum(axis=0)
+        wsum = r.T @ X
+        xbar = np.where(
+            nk_raw[:, None] > 0, wsum / np.maximum(nk_raw[:, None], 1e-300), wsum
+        )
+        nk = nk_raw * repeat
+        wsum = wsum * repeat
+        for k in range(len(self.nu)):
+            diff = X - xbar[k]
+            s = ((r[:, k][:, None] * diff).T @ diff) * repeat
+            self.beta[k] = (1 - pace) * self.beta[k] + pace * (self.base_beta + nk[k])
+            self.loc[k] = (1 - pace) * self.loc[k] + pace * (
+                (self.base_loc * self.base_beta + wsum[k]) / self.beta[k]
+            )
+            self.nu[k] = (1 - pace) * self.nu[k] + pace * (self.base_nu + 1 + nk[k])
+            am = xbar[k] - self.base_loc
+            w_inv = (
+                self.base_w_inv
+                + s
+                + np.outer(am, am)
+                * (self.base_beta * nk[k] / (self.base_beta + nk[k]))
+            )
+            self.omega[k] = (1 - pace) * self.omega[k] + pace * np.linalg.inv(w_inv)
+
     def predictive(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Student-t params per atom (constructPredictiveDistributions)."""
         k, d = len(self.nu), self.d
@@ -214,6 +255,102 @@ def _t_mixture_log_density(
     return out
 
 
+class _FiniteMixing:
+    """MultiComponents.java — Dirichlet mixing weights."""
+
+    def __init__(self, k: int):
+        self.alpha0 = 0.1  # MultiComponents prior (FiniteGMM.java:32)
+        self.alpha = np.full(k, 1.0 / k)
+
+    def e_log(self) -> np.ndarray:
+        return digamma(self.alpha) - digamma(self.alpha.sum())
+
+    def update(self, r: np.ndarray) -> None:
+        self.alpha = self.alpha0 + r.sum(axis=0)
+
+    def move_natural(self, r: np.ndarray, pace: float, repeat: float) -> None:
+        """MultiComponents.moveNatural:47-54 — step toward
+        alpha0 + repeat * N_k."""
+        self.alpha = (1 - pace) * self.alpha + pace * (
+            self.alpha0 + repeat * r.sum(axis=0)
+        )
+
+    def proportions(self) -> np.ndarray:
+        return self.alpha / self.alpha.sum()
+
+
+class _DPMixing:
+    """DPComponents.java — truncated stick-breaking weights."""
+
+    def __init__(self, k: int, concentration: float):
+        self.conc = concentration
+        self.a = np.ones(k)
+        self.b = np.full(k, concentration)
+
+    def e_log(self) -> np.ndarray:
+        dig_ab = digamma(self.a + self.b)
+        term = digamma(self.a) - dig_ab
+        cum = np.concatenate([[0.0], np.cumsum(digamma(self.b) - dig_ab)[:-1]])
+        return cum + term
+
+    @staticmethod
+    def _tail(nk: np.ndarray) -> np.ndarray:
+        return np.concatenate([np.cumsum(nk[::-1])[::-1][1:], [0.0]])
+
+    def update(self, r: np.ndarray) -> None:
+        nk = r.sum(axis=0)
+        self.a = 1.0 + nk
+        self.b = self.conc + self._tail(nk)
+
+    def move_natural(self, r: np.ndarray, pace: float, repeat: float) -> None:
+        """DPComponents.moveNatural:60-74 — step the Beta shape params
+        toward (1 + repeat*N_t, conc + repeat*tail_t)."""
+        nk = r.sum(axis=0)
+        self.a = (1 - pace) * self.a + pace * (1.0 + repeat * nk)
+        self.b = (1 - pace) * self.b + pace * (self.conc + repeat * self._tail(nk))
+
+    def proportions(self) -> np.ndarray:
+        brk = 1.0 / (1.0 + self.b / self.a)
+        stick = np.concatenate([[1.0], np.cumprod(1.0 - brk)[:-1]])
+        return stick * brk
+
+
+def _make_mixing(kind: str, k: int, concentration: float):
+    return _FiniteMixing(k) if kind == "finite" else _DPMixing(k, concentration)
+
+
+def _responsibilities(mix, nw: _NormalWishart, X: np.ndarray) -> np.ndarray:
+    """VariationalInference.normalizeLogProbabilities:15-30."""
+    r = np.exp(
+        mix.e_log()[None, :]
+        + nw.e_log_precision()[None, :]
+        + nw.log_likely_fixed_prec(X)
+    )
+    norm = r.sum(axis=1, keepdims=True)
+    return np.where(norm > 0, r / np.maximum(norm, 1e-300), r)
+
+
+def _finish(kind: str, mix, nw: _NormalWishart) -> VarGMMModel:
+    locs, precs, dofs, log_mults = nw.predictive()
+    return VarGMMModel(
+        kind=kind,
+        weights=mix.proportions(),
+        locs=locs,
+        precs=precs,
+        dofs=dofs,
+        log_mults=log_mults,
+    )
+
+
+def _mean_loglik(mix, nw: _NormalWishart, X: np.ndarray) -> float:
+    locs, precs, dofs, log_mults = nw.predictive()
+    return float(
+        np.mean(
+            _t_mixture_log_density(X, mix.proportions(), locs, precs, dofs, log_mults)
+        )
+    )
+
+
 def fit_vargmm(
     X: np.ndarray,
     k: int = 2,
@@ -227,67 +364,59 @@ def fit_vargmm(
     iteration and termination behavior."""
     rng = np.random.default_rng(seed)
     nw = _NormalWishart(X, k, kind, rng)
-    if kind == "finite":
-        alpha0 = 0.1  # MultiComponents prior (FiniteGMM.java:32)
-        alpha = np.full(k, 1.0 / k)
-
-        def e_log_mixing():
-            return digamma(alpha) - digamma(alpha.sum())
-
-        def update_mixing(r):
-            alpha[:] = alpha0 + r.sum(axis=0)
-
-        def proportions():
-            return alpha / alpha.sum()
-
-    else:
-        a = np.ones(k)
-        b = np.full(k, concentration)
-
-        def e_log_mixing():
-            dig_ab = digamma(a + b)
-            term = digamma(a) - dig_ab
-            cum = np.concatenate([[0.0], np.cumsum(digamma(b) - dig_ab)[:-1]])
-            return cum + term
-
-        def update_mixing(r):
-            nk = r.sum(axis=0)
-            tail = np.concatenate([np.cumsum(nk[::-1])[::-1][1:], [0.0]])
-            a[:] = 1.0 + nk
-            b[:] = concentration + tail
-
-        def proportions():
-            brk = 1.0 / (1.0 + b / a)
-            stick = np.concatenate([[1.0], np.cumprod(1.0 - brk)[:-1]])
-            return stick * brk
-
+    mix = _make_mixing(kind, k, concentration)
     loglik = -np.inf
     for it in range(1, max_iter + 1):
-        ln_mix = e_log_mixing()
-        ln_prec = nw.e_log_precision()
-        ll = nw.log_likely_fixed_prec(X)
-        r = np.exp(ln_mix[None, :] + ln_prec[None, :] + ll)
-        norm = r.sum(axis=1, keepdims=True)
-        r = np.where(norm > 0, r / np.maximum(norm, 1e-300), r)
-        update_mixing(r)
+        r = _responsibilities(mix, nw, X)
+        mix.update(r)
         nw.update(X, r)
-        locs, precs, dofs, log_mults = nw.predictive()
-        w = proportions()
-        new_ll = float(np.mean(_t_mixture_log_density(X, w, locs, precs, dofs, log_mults)))
+        new_ll = _mean_loglik(mix, nw, X)
         improvement = (new_ll - loglik) / (-new_ll) if np.isfinite(loglik) else np.inf
         done = it >= max_iter or (0 <= improvement < progress_cutoff)
         loglik = new_ll
         if done:
             break
-    locs, precs, dofs, log_mults = nw.predictive()
-    return VarGMMModel(
-        kind=kind,
-        weights=proportions(),
-        locs=locs,
-        precs=precs,
-        dofs=dofs,
-        log_mults=log_mults,
-    )
+    return _finish(kind, mix, nw)
+
+
+def fit_vargmm_stochastic(
+    X: np.ndarray,
+    k: int = 2,
+    kind: str = "finite",
+    concentration: float = 1.0,
+    minibatch: int = 10000,
+    delay: float = 1.0,
+    forgetting_rate: float = 0.9,
+    max_iter: int = 100,
+    progress_cutoff: float = 1e-5,
+    seed: int = 42,
+) -> VarGMMModel:
+    """Stochastic VI fit (StochVarFiniteGMM / StochVarDPGMM semantics,
+    VariationalInference.trainTestStochastic:32-82): strided minibatches,
+    pace = (iter + delay)^-forgettingRate, natural-gradient `moveNatural`
+    global steps scaled by N/|minibatch|, the batch termination rule
+    evaluated once per outer sweep."""
+    rng = np.random.default_rng(seed)
+    nw = _NormalWishart(X, k, kind, rng)
+    mix = _make_mixing(kind, k, concentration)
+    n = len(X)
+    partitions = n // min(n, minibatch)
+    loglik = -np.inf
+    for it in range(1, max_iter + 1):
+        pace = (it + delay) ** (-forgetting_rate)
+        for p in range(partitions):
+            mb = X[p::partitions]  # the reference's i = p; i < N; i += partitions
+            r = _responsibilities(mix, nw, mb)
+            repeat = n / len(mb)
+            mix.move_natural(r, pace, repeat)
+            nw.move_natural(mb, r, pace, repeat)
+        new_ll = _mean_loglik(mix, nw, X)
+        improvement = (new_ll - loglik) / (-new_ll) if np.isfinite(loglik) else np.inf
+        done = it >= max_iter or (0 <= improvement < progress_cutoff)
+        loglik = new_ll
+        if done:
+            break
+    return _finish(kind, mix, nw)
 
 
 def vargmm_log_scores(model: VarGMMModel, X: np.ndarray) -> np.ndarray:
@@ -310,14 +439,21 @@ def vargmm_score(
     seed: int = 42,
     score_col: str = "_SCORE",
     model: VarGMMModel | None = None,
+    stochastic: bool = False,
+    minibatch: int = 10000,
 ) -> DataFrame:
     """Broadcast-model Arrow scoring (map-only); the sample is lex-sorted
-    for partitioning invariance, the detectors.py contract."""
+    for partitioning invariance, the detectors.py contract. `stochastic`
+    selects the StochVar* natural-gradient fit."""
     if model is None:
         sample = _collect_sample(df, feature_cols, train_rows, seed)
-        model = fit_vargmm(
-            sample[np.lexsort(sample.T[::-1])], k, kind, concentration, seed=seed
-        )
+        xs = sample[np.lexsort(sample.T[::-1])]
+        if stochastic:
+            model = fit_vargmm_stochastic(
+                xs, k, kind, concentration, minibatch=minibatch, seed=seed
+            )
+        else:
+            model = fit_vargmm(xs, k, kind, concentration, seed=seed)
     return _score_with(df, feature_cols, id_cols, model, "vargmm", score_col)
 
 
@@ -332,19 +468,22 @@ _K_FINITE = 3
 _T_DP = 8
 
 
-def _model_parquet(spark, sf_dir: str, kind: str, k: int) -> str:
+def _model_parquet(spark, sf_dir: str, kind: str, k: int, stoch: bool = False) -> str:
     """(k, w, dof, log_mult, i, j, p, mu_i) per component — the bayes/gmm
     materialized-model recipe, one row per precision entry."""
     import os
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = e.count()
-    path = f"/tmp/mb_vargmm_{kind}{k}_v1_{n}.parquet"
+    tag = f"stoch_{kind}" if stoch else kind
+    path = f"/tmp/mb_vargmm_{tag}{k}_v1_{n}.parquet"
     if not os.path.isfile(f"{path}/_SUCCESS"):
         feats = [f"_f{i}" for i in range(_DIMS)]
         df = array_col_to_features(e, "embedding", _DIMS)
         sample = _collect_sample(df, feats, 4096, 42)
-        m = fit_vargmm(sample[np.lexsort(sample.T[::-1])], k, kind, seed=42)
+        fit = fit_vargmm_stochastic if stoch else fit_vargmm
+        kwargs = {"minibatch": 512} if stoch else {}
+        m = fit(sample[np.lexsort(sample.T[::-1])], k, kind, seed=42, **kwargs)
         rows = [
             (c, float(m.weights[c]), float(m.dofs[c]), float(m.log_mults[c]),
              i, j, float(m.precs[c, i, j]), float(m.locs[c, i]),
@@ -407,8 +546,8 @@ def _mixture_oracle(model_glob: str) -> str:
 """
 
 
-def _mixture_query(spark, sf_dir: str, kind: str, k: int) -> DataFrame:
-    model = _load_model(spark, _model_parquet(spark, sf_dir, kind, k), kind)
+def _mixture_query(spark, sf_dir: str, kind: str, k: int, stoch: bool = False) -> DataFrame:
+    model = _load_model(spark, _model_parquet(spark, sf_dir, kind, k, stoch), kind)
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     feats = [f"_f{i}" for i in range(_DIMS)]
     df = array_col_to_features(e, "embedding", _DIMS)
@@ -424,6 +563,14 @@ def vargmm_model_parquet(spark, sf_dir: str) -> str:
 
 def dpgmm_model_parquet(spark, sf_dir: str) -> str:
     return _model_parquet(spark, sf_dir, "dp", _T_DP)
+
+
+def stochvargmm_model_parquet(spark, sf_dir: str) -> str:
+    return _model_parquet(spark, sf_dir, "finite", _K_FINITE, stoch=True)
+
+
+def stochdpgmm_model_parquet(spark, sf_dir: str) -> str:
+    return _model_parquet(spark, sf_dir, "dp", _T_DP, stoch=True)
 
 
 # the driver's oracle gate runs at sf0.01 (500 embeddings) — same hardcoded
@@ -446,3 +593,24 @@ def dpgmm_loglik_embeddings(spark, sf_dir: str) -> DataFrame:
     """20 lowest predictive log-likelihoods under the truncated
     Dirichlet-process mixture (DPGMM semantics, T=8, concentration 1)."""
     return _mixture_query(spark, sf_dir, "dp", _T_DP)
+
+
+_SFIN_GLOB = (
+    f"read_parquet('/tmp/mb_vargmm_stoch_finite{_K_FINITE}_v1_500.parquet/*.parquet')"
+)
+_SDP_GLOB = f"read_parquet('/tmp/mb_vargmm_stoch_dp{_T_DP}_v1_500.parquet/*.parquet')"
+
+
+@register("stochvargmm_loglik_embeddings", _mixture_oracle(_SFIN_GLOB))
+def stochvargmm_loglik_embeddings(spark, sf_dir: str) -> DataFrame:
+    """20 lowest predictive log-likelihoods under the stochastic-VI finite
+    mixture (StochVarFiniteGMM semantics, K=3, minibatch 512, delay 1,
+    forgetting rate 0.9) — strided minibatches + paced moveNatural steps."""
+    return _mixture_query(spark, sf_dir, "finite", _K_FINITE, stoch=True)
+
+
+@register("stochdpgmm_loglik_embeddings", _mixture_oracle(_SDP_GLOB))
+def stochdpgmm_loglik_embeddings(spark, sf_dir: str) -> DataFrame:
+    """20 lowest predictive log-likelihoods under the stochastic-VI
+    Dirichlet-process mixture (StochVarDPGMM semantics, T=8)."""
+    return _mixture_query(spark, sf_dir, "dp", _T_DP, stoch=True)

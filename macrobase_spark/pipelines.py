@@ -357,22 +357,25 @@ def _get_chain_classifier(
             bandwidth_multiplier=float(p.get("bandwidthMultiplier", 1.0)),
             score_col=out_col,
         )
-    if cid in ("vargmm", "finitegmm", "dpgmm"):
+    if cid in ("vargmm", "finitegmm", "dpgmm", "stochvarfinitegmm", "stochvardpgmm"):
         from macrobase_spark.operators.vargmm import vargmm_score
 
+        dp = cid in ("dpgmm", "stochvardpgmm")
         return vargmm_score(
             df,
             metric_cols,
             None,
             k=int(
-                p.get("numMixtures", 2)
-                if cid != "dpgmm"
-                else p.get("truncatingParameter", 20)
+                p.get("truncatingParameter", 20)
+                if dp
+                else p.get("numMixtures", 2)
             ),
-            kind="dp" if cid == "dpgmm" else "finite",
+            kind="dp" if dp else "finite",
             concentration=float(p.get("concentrationParameter", 1.0)),
             train_rows=int(p.get("trainSize", 4096)),
             score_col=out_col,
+            stochastic=cid.startswith("stochvar"),
+            minibatch=int(p.get("minibatchSize", 10000)),
         )
     if cid == "arima":
         from macrobase_spark.operators.arima import arima_chain_score

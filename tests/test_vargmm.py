@@ -93,3 +93,68 @@ def test_chain_ids(spark):
         out, col = classify_chain(df, conf)
         res = out.collect()
         assert len(res) == 400 and all(r[col] is not None for r in res)
+
+
+def test_stochastic_finite_recovers_planted_clusters():
+    """StochVarFiniteGMM semantics: strided minibatches + paced
+    natural-gradient steps recover the same planted structure."""
+    from macrobase_spark.operators.vargmm import fit_vargmm_stochastic
+
+    rng = np.random.default_rng(0)
+    cents = np.array([[0.0, 0.0], [6.0, 6.0], [-6.0, 6.0]])
+    X = np.vstack([rng.normal(c, 0.7, (300, 2)) for c in cents])
+    m = fit_vargmm_stochastic(X, 3, "finite", minibatch=128, seed=1)
+    assert np.allclose(sorted(m.weights), [1 / 3] * 3, atol=0.05)
+    got = sorted(tuple(np.round(l, 0)) for l in m.locs)
+    want = sorted(tuple(c) for c in cents)
+    assert got == want
+
+
+def test_stochastic_dp_covers_planted_clusters():
+    from macrobase_spark.operators.vargmm import fit_vargmm_stochastic
+
+    rng = np.random.default_rng(0)
+    cents = np.array([[0.0, 0.0], [6.0, 6.0], [-6.0, 6.0]])
+    X = np.vstack([rng.normal(c, 0.7, (300, 2)) for c in cents])
+    m = fit_vargmm_stochastic(X, 8, "dp", minibatch=128, seed=1)
+    big = m.locs[m.weights > 0.05]
+    for c in cents:
+        assert np.min(np.linalg.norm(big - c, axis=1)) < 1.0
+    assert abs(m.weights.sum() - 1.0) < 0.05
+
+
+def test_stochastic_single_minibatch_is_paced_batch():
+    """With minibatch >= N there is exactly ONE partition, so each sweep is
+    a paced step toward the full-batch target — after many sweeps the
+    stochastic fit lands where the batch fit lands."""
+    from macrobase_spark.operators.vargmm import fit_vargmm_stochastic
+
+    rng = np.random.default_rng(7)
+    X = np.vstack(
+        [rng.normal([0, 0], 0.5, (200, 2)), rng.normal([5, 5], 0.5, (200, 2))]
+    )
+    mb = fit_vargmm(X, 2, "finite", seed=9)
+    ms = fit_vargmm_stochastic(X, 2, "finite", minibatch=10**6, seed=9)
+    assert np.allclose(
+        sorted(map(tuple, mb.locs)), sorted(map(tuple, ms.locs)), atol=0.2
+    )
+    assert np.allclose(sorted(mb.weights), sorted(ms.weights), atol=0.02)
+
+
+def test_stochastic_chain_ids(spark):
+    from macrobase_spark.pipelines import classify_chain
+
+    rng = np.random.default_rng(8)
+    rows = [
+        (int(i), float(rng.normal()), float(rng.normal(3, 1))) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, m1 double, m2 double")
+    for conf in (
+        [{"id": "stochvarfinitegmm", "metricColumns": ["m1", "m2"],
+          "parameters": {"minibatchSize": 128}}],
+        [{"id": "stochvardpgmm", "metricColumns": ["m1", "m2"],
+          "parameters": {"truncatingParameter": 5, "minibatchSize": 128}}],
+    ):
+        out, col = classify_chain(df, conf)
+        res = out.collect()
+        assert len(res) == 400 and all(r[col] is not None for r in res)
