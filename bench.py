@@ -110,6 +110,7 @@ EXTRA = [
     "dpgmm_loglik_embeddings",
     "stochvargmm_loglik_embeddings",
     "stochdpgmm_loglik_embeddings",
+    "contextual_outliers_events",
 ]
 
 
