@@ -111,6 +111,7 @@ EXTRA = [
     "stochvargmm_loglik_embeddings",
     "stochdpgmm_loglik_embeddings",
     "contextual_outliers_events",
+    "contextual_context_search_events",
 ]
 
 

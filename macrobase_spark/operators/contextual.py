@@ -217,6 +217,7 @@ def contextual_outliers(
     sample_keep: int = 97,
     include_global: bool = True,
     approx: bool = False,
+    carry_cols: list | None = None,
 ) -> DataFrame:
     """Find all contextual outliers (ContextualOutlierDetector.
     searchContextualOutliers:89-162 semantics with a MAD + static
@@ -266,7 +267,10 @@ def contextual_outliers(
         unit_cols.append(F.when(v.isNotNull(), b.cast("string")).alias(f"__u_{a}"))
 
     base = df.select(
-        F.col(id_col), F.col(metric_col).cast("double").alias("__m"), *unit_cols
+        F.col(id_col),
+        F.col(metric_col).cast("double").alias("__m"),
+        *(carry_cols or []),
+        *unit_cols,
     )
     ucols = [f"__u_{a}" for a in dims]
     subsets = [
@@ -323,8 +327,44 @@ def contextual_outliers(
         alpha=alpha,
     )
 
+    scored = _score_contexts(
+        df.sparkSession, base, dims, ucols, id_col, lattice,
+        include_global=include_global, approx=approx, carry_cols=carry_cols,
+    )
+    if scored is None:
+        return df.sparkSession.createDataFrame(
+            [], f"context string, level int, {id_col} long, metric double, "
+            "score double, context_size long",
+        )
+    return scored.where(F.col("score") > F.lit(threshold)).select(
+        "context",
+        "level",
+        id_col,
+        F.col("__m").alias("metric"),
+        "score",
+        "context_size",
+        *(carry_cols or []),
+    )
+
+
+def _score_contexts(
+    spark,
+    base: DataFrame,
+    dims: list,
+    ucols: list,
+    id_col: str,
+    lattice: list,
+    *,
+    include_global: bool,
+    approx: bool,
+    carry_cols: list | None = None,
+) -> DataFrame | None:
+    """Membership explode + broadcast context join + grouped-MAD scoring.
+    Returns the FULL scored membership relation (context, level, id, __m,
+    score, context_size, carry cols) or None when there is nothing to score.
+    """
+    carry_cols = list(carry_cols or [])
     # ---- broadcast the surviving contexts, explode rows into memberships
-    spark = df.sparkSession
     ctx_rows = [
         (c.label(), c.level, ",".join(c.dims), _SEP.join(map(str, c.units)))
         for c in lattice
@@ -351,17 +391,18 @@ def contextual_outliers(
             )
         )
     if not member_structs:
-        return spark.createDataFrame(
-            [], f"context string, level int, {id_col} long, metric double, "
-            "score double, context_size long",
-        )
+        return None
     exploded = (
         base.select(
             F.col(id_col),
             F.col("__m"),
+            *carry_cols,
             F.explode(F.array(*member_structs)).alias("mk"),
         )
-        .select(id_col, "__m", F.col("mk.dk").alias("dk"), F.col("mk.uk").alias("uk"))
+        .select(
+            id_col, "__m", *carry_cols,
+            F.col("mk.dk").alias("dk"), F.col("mk.uk").alias("uk"),
+        )
         .where(F.col("dk").isNotNull())
     )
     ctx_schema = "context string, level int, dk string, uk string"
@@ -371,7 +412,7 @@ def contextual_outliers(
             spark.createDataFrame([(_GLOBAL, 0, "", _GLOBAL)], ctx_schema)
         )
     members = exploded.join(F.broadcast(ctx_df), ["dk", "uk"]).select(
-        "context", "level", id_col, "__m"
+        "context", "level", id_col, "__m", *carry_cols
     )
 
     # ---- MAD per context: two grouped exact percentiles (one shuffle each)
@@ -406,21 +447,266 @@ def contextual_outliers(
         )
         for r in trimmed.collect():
             mad_rows[r["context"]] = r["__mad"]
+    if not mad_rows:
+        return None
     mad_df = spark.createDataFrame(
         [(c, float(m)) for c, m in mad_rows.items()], "context string, __mad double"
     )
-    return (
-        withmed.join(F.broadcast(mad_df), "context")
-        .withColumn("score", F.abs(F.col("__m") - F.col("__med")) / F.col("__mad"))
-        .where(F.col("score") > F.lit(threshold))
-        .select(
-            "context",
-            "level",
-            id_col,
-            F.col("__m").alias("metric"),
-            "score",
-            "context_size",
+    return withmed.join(F.broadcast(mad_df), "context").withColumn(
+        "score", F.abs(F.col("__m") - F.col("__med")) / F.col("__mad")
+    )
+
+
+def contextual_explain(
+    df: DataFrame,
+    metric_col: str,
+    discrete_attrs: list,
+    double_attrs: list,
+    *,
+    id_col: str,
+    attributes: list,
+    min_support: float = 0.2,
+    min_ratio_metric: float = 1.5,
+    ratio_metric: str = "global_ratio",
+    **kw,
+) -> DataFrame:
+    """BasicContextualBatchedPipeline.run:58-73 semantics: summarize every
+    context's outliers over ``attributes`` (the reference hands each
+    context's classification results to BatchSummarizer). Rendered as ONE
+    grouped order-1 explain keyed by context — per (context, attribute,
+    value): support and ratio measured against THAT context's totals, the
+    same shape as the engine's windowed explain."""
+    from macrobase_spark.streaming.windowed import _support_ratio_exprs
+
+    thr = kw.get("threshold", 3.0)
+    # score EVERY membership (threshold -inf keeps inliers) and flag inline
+    full = contextual_outliers(
+        df, metric_col, discrete_attrs, double_attrs,
+        id_col=id_col, carry_cols=list(attributes),
+        **{**kw, "threshold": float("-inf")},
+    ).withColumn("_o", F.when(F.col("score") > F.lit(thr), 1.0).otherwise(0.0))
+    items = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("attribute"),
+                    F.col(a).cast("string").alias("value"),
+                )
+                for a in attributes
+            ]
         )
+    ).alias("it")
+    per_item = (
+        full.select("context", F.col("_o"), items)
+        .filter(F.col("it.value").isNotNull())
+        .groupBy("context", "it")
+        .agg(
+            F.sum("_o").alias("outlier_count"),
+            F.count(F.lit(1)).cast("double").alias("total_count"),
+        )
+    )
+    totals = full.groupBy("context").agg(
+        F.sum("_o").alias("O"), F.count(F.lit(1)).cast("double").alias("N")
+    )
+    j = per_item.join(totals, "context")
+    oc, tc, O, N = (F.col(c) for c in ["outlier_count", "total_count", "O", "N"])
+    support, ratio = _support_ratio_exprs(oc, tc, O, N, ratio_metric)
+    return (
+        j.select(
+            "context",
+            F.col("it.attribute").alias("attribute"),
+            F.col("it.value").alias("value"),
+            support.alias("support"),
+            ratio.alias(ratio_metric),
+            oc,
+            tc,
+            F.col("O").alias("context_outliers"),
+            F.col("N").alias("context_size"),
+        )
+        .filter(
+            (F.col("support") >= min_support)
+            & (F.col(ratio_metric) >= min_ratio_metric)
+        )
+    )
+
+
+def contextual_search_given_outliers(
+    df: DataFrame,
+    metric_col: str,
+    discrete_attrs: list,
+    double_attrs: list,
+    *,
+    id_col: str,
+    outlier_predicate,
+    tau: float = 0.5,
+    num_intervals: int = 10,
+    max_predicates: int | None = None,
+    threshold: float = 3.0,
+    dependency_pruning: bool = True,
+    approx: bool = False,
+) -> DataFrame:
+    """Interface 2 (ContextualOutlierDetector.searchContextGivenOutliers:
+    191-292): given input outliers (a Column predicate, or the reference's
+    "col = value" string — findInputOutliers:164-183), return the contexts
+    in which ALL of them are MAD outliers.
+
+    Reference details mirrored exactly:
+    - level-1 candidates are built ON THE INPUT OUTLIERS with density 1.0
+      (initOneDimensionalDenseContextsAndContext2DataGivenOutliers:677-698)
+      — in particular, double-attribute bins span the OUTLIERS' min/max,
+      not the full data's, and a candidate exists only when every input
+      outlier lands in the same unit;
+    - candidates are then re-checked dense (>= tau) on the FULL data and
+      leveled up through the usual joins with dependency pruning;
+    - the global context is never returned (the reference tests
+      ``globalOutliers.contains(inputOutliers)`` — List.contains with a
+      List argument, which is always false; mirrored as an exclusion).
+
+    Output: one row per qualifying context (context, level, context_size,
+    n_outliers).
+    """
+    if isinstance(outlier_predicate, str):
+        col, _, val = outlier_predicate.partition(" = ")
+        pred = F.col(col.strip()).cast("string") == val.strip()
+    else:
+        pred = outlier_predicate
+    dims = list(discrete_attrs) + list(double_attrs)
+    if max_predicates is None:
+        max_predicates = len(dims)
+    max_predicates = min(max_predicates, len(dims))
+    marked = df.withColumn("__is_in", F.when(pred, 1).otherwise(0))
+
+    # one aggregate: N, n_input, per-dim distinct-unit checks over the
+    # input outliers (+ the outliers' min/max for double bins)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__is_in").alias("__n_in"),
+    ]
+    for a in discrete_attrs:
+        u = F.col(a).cast("string")
+        u = F.when(u.isNotNull() & (u != "null"), u)
+        aggs.append(
+            F.count_distinct(F.when(F.col("__is_in") == 1, u)).alias(f"__d_{a}")
+        )
+        aggs.append(F.min(F.when(F.col("__is_in") == 1, u)).alias(f"__v_{a}"))
+        aggs.append(
+            F.sum(
+                F.when((F.col("__is_in") == 1) & u.isNull(), 1).otherwise(0)
+            ).alias(f"__nu_{a}")
+        )
+    for a in double_attrs:
+        v = F.col(a).cast("double")
+        aggs.append(F.min(F.when(F.col("__is_in") == 1, v)).alias(f"__lo_{a}"))
+        aggs.append(F.max(F.when(F.col("__is_in") == 1, v)).alias(f"__hi_{a}"))
+        aggs.append(
+            F.sum(
+                F.when((F.col("__is_in") == 1) & v.isNull(), 1).otherwise(0)
+            ).alias(f"__nu_{a}")
+        )
+    stats = marked.agg(*aggs).collect()[0]
+    n_total, n_in = stats["__n"], stats["__n_in"]
+    spark = df.sparkSession
+    empty = spark.createDataFrame(
+        [], "context string, level int, context_size long, n_outliers long"
+    )
+    if n_total == 0 or n_in == 0:
+        return empty
+
+    # level-1 candidates: the single unit (per dim) containing all input
+    # outliers, if any; double bins span the OUTLIERS' range
+    unit_cols, cand_units = [], {}
+    for a in discrete_attrs:
+        u = F.col(a).cast("string")
+        unit_cols.append(F.when(u.isNotNull() & (u != "null"), u).alias(f"__u_{a}"))
+        if (
+            stats[f"__d_{a}"] == 1
+            and stats[f"__v_{a}"] is not None
+            and stats[f"__nu_{a}"] == 0
+        ):
+            cand_units[a] = str(stats[f"__v_{a}"])
+    for a in double_attrs:
+        lo, hi = stats[f"__lo_{a}"], stats[f"__hi_{a}"]
+        if lo is None:
+            continue
+        lo, hi = float(lo), float(hi)
+        step = (hi - lo) / num_intervals
+        v = F.col(a).cast("double")
+        if step == 0.0:
+            b = F.when(
+                (v >= F.lit(lo)) & (v < F.lit(hi + 0.000001)),
+                F.lit(num_intervals - 1),
+            )
+        else:
+            # all outliers share a unit only when the range collapses to
+            # one bin; still compute the bin column for full-data contexts
+            b = F.when(
+                (v >= F.lit(lo)) & (v < F.lit(hi + 0.000001)),
+                F.least(
+                    F.greatest(F.floor((v - F.lit(lo)) / F.lit(step)).cast("int"), F.lit(0)),
+                    F.lit(num_intervals - 1),
+                ),
+            )
+        unit_cols.append(F.when(v.isNotNull(), b.cast("string")).alias(f"__u_{a}"))
+        if step == 0.0 and stats[f"__nu_{a}"] == 0:
+            cand_units[a] = str(num_intervals - 1)
+    cand_dims = [d for d in dims if d in cand_units]
+    if not cand_dims:
+        return empty
+
+    base = marked.select(
+        F.col(id_col),
+        F.col(metric_col).cast("double").alias("__m"),
+        F.col("__is_in"),
+        *unit_cols,
+    )
+    ucols = [f"__u_{a}" for a in dims]
+
+    # exact counts for every conjunction of candidate units (<= 2^|cand|)
+    subsets = [
+        s
+        for k in range(1, min(max_predicates, len(cand_dims)) + 1)
+        for s in combinations(cand_dims, k)
+    ]
+    caggs = []
+    for j, s in enumerate(subsets):
+        ind = F.lit(True)
+        for d in s:
+            ind = ind & (F.col(f"__u_{d}") == F.lit(cand_units[d]))
+        caggs.append(F.sum(F.when(ind, 1).otherwise(0)).alias(f"c{j}"))
+    crow = base.agg(*caggs).collect()[0]
+    counts = {
+        tuple(s): {tuple(cand_units[d] for d in s): crow[f"c{j}"]}
+        for j, s in enumerate(subsets)
+        if crow[f"c{j}"] / n_total >= tau
+    }
+    lattice = dense_context_lattice(
+        counts, n_total, dims,
+        tau=tau, max_predicates=max_predicates,
+        dependency_pruning=dependency_pruning,
+    )
+    if not lattice:
+        return empty
+    scored = _score_contexts(
+        spark, base, dims, ucols, id_col, lattice,
+        include_global=False, approx=approx, carry_cols=["__is_in"],
+    )
+    if scored is None:
+        return empty
+    per_ctx = scored.groupBy("context", "level", "context_size").agg(
+        F.sum(F.when(F.col("score") > F.lit(threshold), 1).otherwise(0)).alias(
+            "n_outliers"
+        ),
+        F.sum(
+            F.when(
+                (F.col("score") > F.lit(threshold)) & (F.col("__is_in") == 1), 1
+            ).otherwise(0)
+        ).alias("__in_flagged"),
+    )
+    return per_ctx.where(F.col("__in_flagged") == F.lit(int(n_in))).select(
+        "context",
+        "level",
+        F.col("context_size").cast("long").alias("context_size"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
     )
 
 
@@ -521,9 +807,91 @@ def contextual_outliers_events(spark, sf_dir: str) -> DataFrame:
         threshold=_THRESH,
     )
     return res.select(
-        F.regexp_replace("context", r"user_id=", "user_id=").alias("context"),
+        "context",
         F.col("level").cast("int").alias("level"),
         "event_id",
         F.round("score", 6).alias("score"),
         F.col("context_size").cast("long").alias("context_size"),
+    )
+
+
+# Interface 2: probes = the first-20-event error rows shifted +400 in the
+# metric, so the dense context event_type=error must flag every probe
+_CTX2_ORACLE = f"""
+WITH m AS (
+  SELECT event_id, event_type,
+         value + CASE WHEN event_id < 20 AND event_type = 'error'
+                      THEN 400.0 ELSE 0.0 END AS mm,
+         CASE WHEN event_id < 20 AND event_type = 'error' THEN 1 ELSE 0 END
+           AS is_in
+  FROM events
+),
+p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(is_in) AS n_in FROM m),
+cand AS (
+  -- the single candidate unit: all probes share event_type='error'
+  -- (count_distinct over probes = 1), re-checked dense on the full data
+  SELECT event_type AS k, COUNT(*) AS cnt FROM m
+  WHERE event_type = (SELECT MIN(event_type) FROM m WHERE is_in = 1)
+    AND 1 = (SELECT COUNT(DISTINCT event_type) FROM m WHERE is_in = 1)
+  GROUP BY 1
+  HAVING CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM p) >= {_TAU}
+),
+ctx AS (
+  SELECT 'event_type=' || cand.k AS context, m.event_id, m.mm, m.is_in
+  FROM m JOIN cand ON m.event_type = cand.k
+),
+med AS (
+  SELECT context, QUANTILE_CONT(mm, 0.5) AS med, COUNT(*) AS csize
+  FROM ctx GROUP BY 1
+),
+mad AS (
+  SELECT ctx.context, QUANTILE_CONT(ABS(mm - med), 0.5) AS mad
+  FROM ctx JOIN med USING (context) GROUP BY 1
+),
+scored AS (
+  SELECT ctx.context, med.csize,
+         CASE WHEN ABS(ctx.mm - med.med) / mad.mad > {_THRESH} THEN 1 ELSE 0
+           END AS flagged,
+         ctx.is_in
+  FROM ctx JOIN med USING (context) JOIN mad USING (context)
+)
+SELECT context,
+       CAST(1 AS INT) AS level,
+       CAST(MAX(csize) AS BIGINT) AS context_size,
+       CAST(SUM(flagged) AS BIGINT) AS n_outliers
+FROM scored
+GROUP BY context
+HAVING SUM(CASE WHEN flagged = 1 AND is_in = 1 THEN 1 ELSE 0 END)
+         = (SELECT n_in FROM p)
+ORDER BY context
+"""
+
+
+@register("contextual_context_search_events", _CTX2_ORACLE)
+def contextual_context_search_events(spark, sf_dir: str) -> DataFrame:
+    """Interface 2 (searchContextGivenOutliers): given the planted probe
+    rows (first-20-event errors, metric shifted +400), find every dense
+    context in which ALL of them are MAD outliers — the oracle replays the
+    candidate construction, density re-check, and per-context MAD gate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probe = (F.col("event_id") < 20) & (F.col("event_type") == "error")
+    shifted = ev.withColumn(
+        "mm", F.col("value") + F.when(probe, F.lit(400.0)).otherwise(F.lit(0.0))
+    )
+    res = contextual_search_given_outliers(
+        shifted,
+        "mm",
+        ["event_type"],
+        [],
+        id_col="event_id",
+        outlier_predicate=probe,
+        tau=_TAU,
+        num_intervals=_BINS,
+        threshold=_THRESH,
+    )
+    return res.select(
+        "context",
+        F.col("level").cast("int").alias("level"),
+        "context_size",
+        "n_outliers",
     )

@@ -583,11 +583,81 @@ def _wire_time_column(df: DataFrame, conf: dict) -> tuple[DataFrame, dict]:
     return df, conf
 
 
+def _ctx_key(conf: dict, short: str, default):
+    """Contextual configs accept both the friendly key and the reference's
+    dotted name (contrib ContextualConf.java:7-18)."""
+    dotted = f"macrobase.analysis.contextual.{short}"
+    return conf.get(short, conf.get(dotted, default))
+
+
+def _run_contextual(
+    spark: SparkSession, conf: dict, base_dir: str
+) -> PipelineResult:
+    """BasicContextualBatchedPipeline.run:33-75: contextual detection over
+    the configured discrete/double attributes, then per-context
+    summarization over `attributes`. classified = the (context, outlier)
+    relation; explanation = the per-context order-1 summary (or, under
+    contextualAPI findContextsGivenOutlierPredicate, the qualifying
+    contexts — Interface 2)."""
+    from macrobase_spark.operators.contextual import (
+        contextual_explain,
+        contextual_outliers,
+        contextual_search_given_outliers,
+    )
+
+    df = _load(spark, conf, base_dir)
+    metric = conf["metric"] if isinstance(conf.get("metric"), str) else conf["metrics"][0]
+    id_col = conf.get("idColumn")
+    if id_col is None:
+        id_col = "_ctx_id"
+        df = df.withColumn(id_col, F.monotonically_increasing_id())
+    kw = dict(
+        id_col=id_col,
+        tau=float(_ctx_key(conf, "denseContextTau", 0.5)),
+        num_intervals=int(_ctx_key(conf, "numIntervals", 10)),
+        threshold=float(
+            conf.get("cutoff", conf.get("outlierStaticThreshold", 3.0))
+        ),
+        dependency_pruning=bool(_ctx_key(conf, "pruning.dependency", True)),
+    )
+    mp = _ctx_key(conf, "maxPredicates", None)
+    if mp is not None:
+        kw["max_predicates"] = int(mp)
+    disc = list(_ctx_key(conf, "discreteAttributes", []) or [])
+    dbl = list(_ctx_key(conf, "doubleAttributes", []) or [])
+    api = _ctx_key(conf, "api", "findAllContextualOutliers")
+    if api == "findContextsGivenOutlierPredicate":
+        pred = _ctx_key(conf, "api.outlierPredicates", "")
+        contexts = contextual_search_given_outliers(
+            df, metric, disc, dbl, outlier_predicate=pred, **kw
+        )
+        return PipelineResult(contexts, contexts)
+    classified = contextual_outliers(df, metric, disc, dbl, **kw)
+    attrs = conf.get("attributes") or []
+    if attrs:
+        explanation = contextual_explain(
+            df, metric, disc, dbl, attributes=attrs,
+            min_support=float(conf.get("minSupport", 0.25)),
+            min_ratio_metric=float(conf.get("minRatioMetric", 1.5)),
+            ratio_metric=_METRIC_NAMES.get(
+                str(conf.get("ratioMetric", "globalRatio")).lower(), "global_ratio"
+            ),
+            **kw,
+        )
+    else:
+        explanation = classified.groupBy("context", "level", "context_size").agg(
+            F.count(F.lit(1)).alias("n_outliers")
+        )
+    return PipelineResult(classified, explanation)
+
+
 def run_config(spark: SparkSession, conf: dict, base_dir: str = "") -> PipelineResult:
     """Load → classify → explain, per the reference pipeline contract.
     A `classifiers:` LIST runs as a chain (alexp Pipelines.
     getClassifiersChain); the summarizer consumes the final link's output."""
     pipeline = conf.get("pipeline", "BasicBatchPipeline")
+    if pipeline == "BasicContextualBatchedPipeline":
+        return _run_contextual(spark, conf, base_dir)
     cube = pipeline == "CubePipeline"
     # meanshift uses the dedicated summarizer regardless of the summarizer key
     if cube and conf.get("classifier", "").lower() in ("meanshift", "countmeanshift"):

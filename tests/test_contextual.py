@@ -253,6 +253,115 @@ def test_distribution_pruning_deterministic(spark):
     assert {"c1=x", "c1=y"} & set(full)
 
 
+def test_search_given_outliers(spark):
+    """Interface 2: the dense context sharing all probes' unit qualifies
+    iff every probe is a MAD outlier inside it; global is never returned
+    (the reference's List.contains(List) check)."""
+    rng = np.random.default_rng(9)
+    n = 300
+    rows = []
+    for i in range(n):
+        if i < 10:
+            rows.append((i, "a", "q", 100.0))
+        elif i < 150:
+            rows.append((i, "a", "p", round(float(rng.normal(0, 1)), 3)))
+        else:
+            rows.append((i, "b", "p", round(float(rng.normal(0, 1)), 3)))
+    df = spark.createDataFrame(rows, "rid long, c1 string, c2 string, m double")
+    from macrobase_spark.operators.contextual import (
+        contextual_search_given_outliers,
+    )
+
+    res = contextual_search_given_outliers(
+        df, "m", ["c1", "c2"], [], id_col="rid",
+        outlier_predicate="c2 = q", tau=0.4, num_intervals=10, threshold=3.0,
+    ).collect()
+    # c2=q is a candidate but not dense (10/300); c1=a is dense and flags
+    # all ten probes (|100 - med| / MAD >> 3)
+    assert [(r["context"], r["level"]) for r in res] == [("c1=a", 1)]
+    assert res[0]["context_size"] == 150
+    # non-extreme probes: the same context no longer qualifies
+    df2 = df.withColumn("m", F.when(F.col("c2") == "q", 0.5).otherwise(F.col("m")))
+    res2 = contextual_search_given_outliers(
+        df2, "m", ["c1", "c2"], [], id_col="rid",
+        outlier_predicate="c2 = q", tau=0.4, num_intervals=10, threshold=3.0,
+    ).collect()
+    assert res2 == []
+
+
+def test_contextual_explain_grouped(spark):
+    """Per-context order-1 summarization: the planted attribute dominates
+    the outliers of the context it was planted in."""
+    rng = np.random.default_rng(13)
+    n = 400
+    rows = []
+    for i in range(n):
+        grp = "a" if i < 200 else "b"
+        dev = "ios" if i % 2 == 0 else "android"
+        m = round(float(rng.normal(0, 1)), 3)
+        if grp == "a" and dev == "ios" and i < 40:
+            m += 60.0  # planted: context a's outliers are ios
+        rows.append((i, grp, dev, m))
+    df = spark.createDataFrame(rows, "rid long, grp string, dev string, m double")
+    from macrobase_spark.operators.contextual import contextual_explain
+
+    res = contextual_explain(
+        df, "m", ["grp"], [], id_col="rid", attributes=["dev"],
+        tau=0.4, num_intervals=10, threshold=3.0,
+        min_support=0.5, min_ratio_metric=1.5,
+    ).collect()
+    hot = [r for r in res if r["context"] == "grp=a"]
+    assert hot and all(r["value"] == "ios" for r in hot)
+
+
+def test_contextual_pipeline_config(spark, tmp_path):
+    """BasicContextualBatchedPipeline runs from a reference-style config
+    (dotted ContextualConf keys accepted)."""
+    rng = np.random.default_rng(17)
+    n = 300
+    rows = [
+        (
+            int(i),
+            "x" if i < 150 else "y",
+            "ios" if i % 2 == 0 else "android",
+            round(float(rng.normal(0, 1)), 3) + (50.0 if i < 6 else 0.0),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "rid long, c1 string, dev string, m double")
+    path = str(tmp_path / "ctx_pipe.parquet")
+    df.write.mode("overwrite").parquet(path)
+    from macrobase_spark.pipelines import run_config
+
+    conf = {
+        "pipeline": "BasicContextualBatchedPipeline",
+        "inputURI": f"parquet://{path}",
+        "metric": "m",
+        "idColumn": "rid",
+        "macrobase.analysis.contextual.discreteAttributes": ["c1"],
+        "macrobase.analysis.contextual.denseContextTau": 0.4,
+        "macrobase.analysis.contextual.numIntervals": 10,
+        "cutoff": 3.0,
+        "attributes": ["dev"],
+        "minSupport": 0.1,
+        "minRatioMetric": 0.0,
+    }
+    res = run_config(spark, conf)
+    outs = res.classified.collect()
+    assert {r["context"] for r in outs} >= {"global", "c1=x"}
+    assert all(r["score"] > 3.0 for r in outs)
+    exp = res.explanation.collect()
+    assert {r["context"] for r in exp} and "attribute" in res.explanation.columns
+    # Interface 2 through the config surface
+    conf2 = {
+        **conf,
+        "macrobase.analysis.contextual.api": "findContextsGivenOutlierPredicate",
+        "macrobase.analysis.contextual.api.outlierPredicates": "dev = ios",
+    }
+    res2 = run_config(spark, conf2)
+    assert res2.classified.columns == ["context", "level", "context_size", "n_outliers"]
+
+
 def test_null_units_never_form_contexts(spark):
     """Discrete null / 'null' values are not interesting intervals
     (detector.isInterestingInterval:561-572)."""
