@@ -651,6 +651,108 @@ def _run_contextual(
     return PipelineResult(classified, explanation)
 
 
+def _diag_key(conf: dict, short: str, default=None):
+    return conf.get(short, conf.get(f"macrobase.diagnostic.{short}", default))
+
+
+def _run_grid_dumping(
+    spark: SparkSession, conf: dict, base_dir: str
+) -> PipelineResult:
+    """GridDumpingPipeline.run:30-77: score transform → (grid dump,
+    before/after dump, mixture-component dump) → BatchingPercentileClassifier
+    (r6 percentile of the score at targetPercentile, flag score >= cutoff,
+    NaN maximal — legacy BatchingPercentileClassifier.java:44-64) →
+    summarizer. Diagnostic keys accept both short and the reference's
+    dotted names (macrobase.diagnostic.*)."""
+    from macrobase_spark.functions.diagnostics import (
+        dump_before_after,
+        dump_classifier,
+        dump_mixture_components,
+        dump_scored_grid,
+    )
+    from macrobase_spark.operators.contrib_stats import (
+        _collect_sample,
+        fit_gmm,
+        fit_kde,
+        gmm_score,
+        kde_score,
+    )
+    import numpy as np
+
+    df = _load(spark, conf, base_dir)
+    metrics = conf.get("metrics") or [conf["metric"]]
+    id_col = conf.get("idColumn")
+    if id_col is None:
+        id_col = "_diag_id"
+        df = df.withColumn(id_col, F.monotonically_increasing_id())
+    tid = str(
+        conf.get("transformType", conf.get("macrobase.analysis.transformType", "MAD"))
+    ).lower()
+    out_dir = _diag_key(conf, "outDir", "target/scores")
+    model = None
+    if tid == "kde":
+        sample = _collect_sample(df, metrics, int(conf.get("trainSize", 4096)), 42)
+        model = fit_kde(sample[np.lexsort(sample.T[::-1])])
+        score_with = lambda g: kde_score(g, metrics, None, model=model)  # noqa: E731
+    elif tid in ("gmm", "em_gmm", "expectmaxgmm"):
+        sample = _collect_sample(df, metrics, int(conf.get("trainSize", 4096)), 42)
+        model = fit_gmm(
+            sample[np.lexsort(sample.T[::-1])], k=int(conf.get("numMixtures", 3))
+        )
+        score_with = lambda g: gmm_score(g, metrics, None, model=model)  # noqa: E731
+    elif tid == "mad":
+        if len(metrics) != 1:
+            raise ValueError("MAD transform is univariate")
+        m = metrics[0]
+        med = float(df.agg(F.percentile(F.col(m), 0.5)).collect()[0][0])
+        mad = float(
+            df.agg(F.percentile(F.abs(F.col(m) - F.lit(med)), 0.5)).collect()[0][0]
+        )
+        score_with = lambda g: g.withColumn(  # noqa: E731
+            "_SCORE", F.abs(F.col(m) - F.lit(med)) / F.lit(mad)
+        )
+    else:
+        raise ValueError(f"unsupported grid-dumping transform {tid!r}")
+    scored = score_with(df)
+
+    grid_file = _diag_key(conf, "dumpScoreGrid")
+    if grid_file:
+        dump_scored_grid(
+            df,
+            metrics,
+            score_with,
+            f"{out_dir}/{grid_file}",
+            points_per_dim=int(_diag_key(conf, "gridPointsPerDimension", 1000)),
+        )
+    score_file = _diag_key(conf, "scoreDataFile")
+    if score_file:
+        dump_before_after(
+            df, scored, metrics, ["_SCORE"], id_col, f"{out_dir}/{score_file}"
+        )
+    mix_suffix = _diag_key(conf, "dumpMixtureComponents")
+    if mix_suffix and model is not None and hasattr(model, "weights"):
+        dump_mixture_components(model, mix_suffix, out_dir)
+
+    # BatchingPercentileClassifier: r6 percentile of the score, flag >=
+    target = float(conf.get("targetPercentile", 0.99))
+    n = scored.count()
+    q = min(max((target * (n + 1) - 1.0) / (n - 1.0), 0.0), 1.0) if n > 1 else 0.5
+    cut = float(scored.agg(F.percentile(F.col("_SCORE"), q)).collect()[0][0])
+    classified = scored.withColumn(
+        OUTLIER_COL,
+        F.when(
+            F.isnan("_SCORE") | (F.col("_SCORE") >= F.lit(cut)), 1.0
+        ).otherwise(0.0),
+    )
+    if _diag_key(conf, "dumpClassifier", False):
+        name = conf.get("queryName", "default")
+        classified = dump_classifier(
+            classified, OUTLIER_COL, id_col, f"{out_dir}/{name}-dumpClassifier.txt"
+        )
+    explanation = _summarize(classified, conf, cube=False)
+    return PipelineResult(classified, explanation)
+
+
 def run_config(spark: SparkSession, conf: dict, base_dir: str = "") -> PipelineResult:
     """Load → classify → explain, per the reference pipeline contract.
     A `classifiers:` LIST runs as a chain (alexp Pipelines.
@@ -658,6 +760,8 @@ def run_config(spark: SparkSession, conf: dict, base_dir: str = "") -> PipelineR
     pipeline = conf.get("pipeline", "BasicBatchPipeline")
     if pipeline == "BasicContextualBatchedPipeline":
         return _run_contextual(spark, conf, base_dir)
+    if pipeline == "GridDumpingPipeline":
+        return _run_grid_dumping(spark, conf, base_dir)
     cube = pipeline == "CubePipeline"
     # meanshift uses the dedicated summarizer regardless of the summarizer key
     if cube and conf.get("classifier", "").lower() in ("meanshift", "countmeanshift"):
