@@ -266,12 +266,17 @@ def contextual_outliers(
             )
         unit_cols.append(F.when(v.isNotNull(), b.cast("string")).alias(f"__u_{a}"))
 
+    # one narrow materialization feeds every later pass (dense-context
+    # counts, optional sample, median agg, MAD agg, final scoring) — four
+    # map passes over a checkpointed (id, metric, units) relation instead
+    # of four parquet rescans + explode recomputes. The relation is as
+    # narrow as the reference's own in-memory Datum list.
     base = df.select(
         F.col(id_col),
         F.col(metric_col).cast("double").alias("__m"),
         *(carry_cols or []),
         *unit_cols,
-    )
+    ).localCheckpoint()
     ucols = [f"__u_{a}" for a in dims]
     subsets = [
         s for k in range(1, max_predicates + 1) for s in combinations(range(len(dims)), k)
@@ -658,7 +663,7 @@ def contextual_search_given_outliers(
         F.col(metric_col).cast("double").alias("__m"),
         F.col("__is_in"),
         *unit_cols,
-    )
+    ).localCheckpoint()
     ucols = [f"__u_{a}" for a in dims]
 
     # exact counts for every conjunction of candidate units (<= 2^|cand|)
