@@ -35,6 +35,7 @@ import macrobase_spark.operators.kalman  # noqa: E402,F401
 import macrobase_spark.operators.arima  # noqa: E402,F401
 import macrobase_spark.operators.vargmm  # noqa: E402,F401
 import macrobase_spark.operators.contextual  # noqa: E402,F401
+import macrobase_spark.operators.ew  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401

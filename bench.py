@@ -112,6 +112,8 @@ EXTRA = [
     "stochdpgmm_loglik_embeddings",
     "contextual_outliers_events",
     "contextual_context_search_events",
+    "ew_summary_events",
+    "ew_flags_keyed_events",
 ]
 
 
