@@ -36,6 +36,7 @@ import macrobase_spark.operators.arima  # noqa: E402,F401
 import macrobase_spark.operators.vargmm  # noqa: E402,F401
 import macrobase_spark.operators.contextual  # noqa: E402,F401
 import macrobase_spark.operators.ew  # noqa: E402,F401
+import macrobase_spark.operators.legacy_transforms  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401

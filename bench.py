@@ -114,6 +114,9 @@ EXTRA = [
     "contextual_context_search_events",
     "ew_summary_events",
     "ew_flags_keyed_events",
+    "legacy_transforms_events",
+    "autocorr_events",
+    "gaussian_mahalanobis_embeddings",
 ]
 
 
