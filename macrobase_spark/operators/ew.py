@@ -755,6 +755,16 @@ def ew_streaming_summarize(
     ratio, num_outliers, num_inliers)."""
     params = params or EWParams()
     keys = list(key_cols or [])
+    if not keys:
+        import warnings
+
+        warnings.warn(
+            "ew_streaming_summarize without key_cols replays ONE global "
+            "sequential stream in a single task (the reference's "
+            "single-threaded semantics) — pass key_cols (stream/device "
+            "key) for any real data volume.",
+            stacklevel=2,
+        )
     spark = df.sparkSession
     sel = df.select(
         *keys,
@@ -817,6 +827,14 @@ def ew_classify_flags(
     stages), one state machine per key."""
     params = params or EWParams()
     keys = list(key_cols or [])
+    if not keys:
+        import warnings
+
+        warnings.warn(
+            "ew_classify_flags without key_cols replays ONE global "
+            "sequential stream in a single task — pass key_cols at scale.",
+            stacklevel=2,
+        )
     sel = df.select(
         *keys,
         F.col(order_col).alias("__ord"),
