@@ -265,6 +265,9 @@ def main() -> int:
     import macrobase_spark.operators.kalman  # noqa: F401
     import macrobase_spark.operators.arima  # noqa: F401
     import macrobase_spark.operators.vargmm  # noqa: F401
+    import macrobase_spark.operators.contextual  # noqa: F401
+    import macrobase_spark.operators.ew  # noqa: F401
+    import macrobase_spark.operators.legacy_transforms  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
