@@ -240,11 +240,13 @@ def contextual_outliers(
         aggs.append(F.max(F.col(a).cast("double")).alias(f"__hi_{a}"))
     stats = df.agg(*aggs).collect()[0]
     n_total = stats["__n"]
+    id_type = df.schema[id_col].dataType.simpleString()
+    empty_schema = (
+        f"context string, level int, `{id_col}` {id_type}, metric double, "
+        "score double, context_size long"
+    )
     if n_total == 0:
-        return df.sparkSession.createDataFrame(
-            [], f"context string, level int, {id_col} long, metric double, "
-            "score double, context_size long",
-        )
+        return df.sparkSession.createDataFrame([], empty_schema)
 
     # ---- unit assignment (null / "null" units never form a context)
     unit_cols = []
@@ -337,10 +339,7 @@ def contextual_outliers(
         include_global=include_global, approx=approx, carry_cols=carry_cols,
     )
     if scored is None:
-        return df.sparkSession.createDataFrame(
-            [], f"context string, level int, {id_col} long, metric double, "
-            "score double, context_size long",
-        )
+        return df.sparkSession.createDataFrame([], empty_schema)
     return scored.where(F.col("score") > F.lit(threshold)).select(
         "context",
         "level",

@@ -92,6 +92,10 @@ class AChaoReservoir:
         self._tie = 0
 
     def _update_overweight(self) -> None:
+        # NOTE: re-inserting a parked item goes through insert() and bumps
+        # running_count a SECOND time — exactly what the reference does
+        # (AChao.java:54-62 polls then calls insert(item, weight), whose
+        # first statement is runningCount += weight). Mirrored bug-for-bug.
         while self._overweight:
             w, _, item = self._overweight[0]
             if self.capacity * w / self.running_count <= 1:
@@ -501,6 +505,9 @@ class DecayingEmergingItemsets:
     def mark_outlier(self, attributes) -> None:
         self.num_outliers += 1
         self.out_counts.observe_all(attributes)
+        # the reference's own (inverted-looking) gate — tree insertion when
+        # combinations are DISABLED is a no-op because `frequent` stays
+        # empty (ExponentiallyDecayingEmergingItemsets.java:137,146)
         if not self.combinations or self.dim > 1:
             self.out_patterns.insert_false_negative(attributes)
 
@@ -857,9 +864,13 @@ def ew_classify_flags(
             for row in pdf[attributes].itertuples(index=False, name=None)
         ]
         res = rt.run(pdf["__m"].to_numpy(), attr_rows)
+        # classified output lags the input while the warmups buffer (a key
+        # shorter than warmup_count emits nothing, like the reference's
+        # one-shot run); pair flags with the OLDEST ordinals
+        k_out = len(res["flags"])
         out = pd.DataFrame(
             {
-                "__ord": pdf["__ord"].to_numpy(),
+                "__ord": pdf["__ord"].to_numpy()[:k_out],
                 "score": np.array(res["scores"], dtype=float),
                 "outlier": np.array(res["flags"], dtype="int32"),
             }

@@ -61,12 +61,10 @@ def _r6_fraction(p_pct: float, n: int) -> float:
 
 def z_score(df: DataFrame, col: str, score_col: str = "_SCORE") -> DataFrame:
     """ZScore.java:16-45 — |x - mean| / std_pop."""
-    row = df.agg(
-        F.avg(F.col(col)).alias("m"),
-        (F.sum(F.pow(F.col(col), 2)) / F.count(F.lit(1))).alias("ex2"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    mean = float(row["m"])
+    # two passes on purpose: the second matches the reference's (and the
+    # oracle's) E[(mean-x)^2] summation exactly, avoiding the fp
+    # cancellation of the one-pass E[x^2]-mean^2 form
+    mean = float(df.agg(F.avg(F.col(col)).alias("m")).collect()[0]["m"])
     # population variance E[(x-m)^2] computed the reference's way
     var = df.agg(F.avg(F.pow(F.lit(mean) - F.col(col), 2))).collect()[0][0]
     std = float(var) ** 0.5
@@ -385,10 +383,10 @@ SELECT e.event_id,
        ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS winsorized,
        ROUND(POW(GREATEST(e.value, 0.1), -1.0), 6) AS low_t,
        ROUND((e.value - nrm.nlo) / (nrm.nhi - nrm.nlo), 6) AS normalized,
-       ROUND(CAST(e.user_id AS DOUBLE) * {_RPM[0, 0]!r}
-             + e.value * {_RPM[0, 1]!r}, 6) AS rp0,
-       ROUND(CAST(e.user_id AS DOUBLE) * {_RPM[1, 0]!r}
-             + e.value * {_RPM[1, 1]!r}, 6) AS rp1
+       ROUND(CAST(e.user_id AS DOUBLE) * {float(_RPM[0, 0])!r}
+             + e.value * {float(_RPM[0, 1])!r}, 6) AS rp0,
+       ROUND(CAST(e.user_id AS DOUBLE) * {float(_RPM[1, 0])!r}
+             + e.value * {float(_RPM[1, 1])!r}, 6) AS rp1
 FROM events e, p, v, b, nrm
 ORDER BY e.event_id
 """
@@ -459,18 +457,26 @@ def autocorr_events(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def gaussian_model_parquet(spark, sf_dir: str) -> str:
-    """Materialize (i, j, inv_ij, mu_i, mu_j) for the SQL quadratic form."""
+def gaussian_model_parquet(spark, sf_dir: str, dims: int = 8) -> tuple:
+    """Materialize (i, j, inv_ij, mu_i, mu_j) for the SQL quadratic form;
+    returns (path, mean, inv) so callers never fit twice. Guarded on
+    _SUCCESS like the other materialized-model writers (a partial write
+    must not be read back)."""
     import os
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_rows = emb.count()
     path = f"/tmp/mb_gaussian_model_v1_{n_rows}.parquet"
-    if os.path.exists(path):
-        return path
+    if os.path.isfile(f"{path}/_SUCCESS"):
+        pdf = spark.read.parquet(path).toPandas()
+        mean = np.zeros(dims)
+        inv = np.zeros((dims, dims))
+        for r in pdf.itertuples(index=False):
+            inv[r.i, r.j] = r.p
+            mean[r.i] = r.mu_i
+        return path, mean, inv
     from macrobase_spark.operators.detectors import array_col_to_features
 
-    dims = 8
     feats = [f"_f{i}" for i in range(dims)]
     df = array_col_to_features(emb, "embedding", dims)
     mean, _, inv, _ = gaussian_fit(df, feats)
@@ -482,7 +488,7 @@ def gaussian_model_parquet(spark, sf_dir: str) -> str:
     spark.createDataFrame(
         rows, "i int, j int, p double, mu_i double, mu_j double"
     ).coalesce(1).write.mode("overwrite").parquet(path)
-    return path
+    return path, mean, inv
 
 
 _GM = "read_parquet('/tmp/mb_gaussian_model_v1_500.parquet/*.parquet')"
@@ -507,12 +513,11 @@ def gaussian_mahalanobis_embeddings(spark, sf_dir: str) -> DataFrame:
     the materialized (mean, inverse-covariance) relation."""
     from macrobase_spark.operators.detectors import array_col_to_features
 
-    gaussian_model_parquet(spark, sf_dir)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dims = 8
+    _, mean, inv = gaussian_model_parquet(spark, sf_dir, dims)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     feats = [f"_f{i}" for i in range(dims)]
     df = array_col_to_features(emb, "embedding", dims)
-    mean, _, inv, _ = gaussian_fit(df, feats)
     scored = gaussian_mahalanobis(df, feats, mean, inv)
     return scored.orderBy(F.desc("_SCORE"), "vec_id").limit(20).select(
         "vec_id", F.round("_SCORE", 5).alias("score")

@@ -708,6 +708,24 @@ def _run_grid_dumping(
         mad = float(
             df.agg(F.percentile(F.abs(F.col(m) - F.lit(med)), 0.5)).collect()[0][0]
         )
+        if mad == 0.0:
+            # legacy MAD.java:74-85 — 5% trimmed mean of sorted residuals
+            # (degenerate metrics would otherwise NULL every score)
+            from pyspark.sql import Window
+
+            resid = df.withColumn("__r", F.abs(F.col(m) - F.lit(med)))
+            mad = float(
+                resid.withColumn(
+                    "__rn", F.row_number().over(Window.orderBy("__r")) - 1
+                )
+                .withColumn("__nn", F.count(F.lit(1)).over(Window.partitionBy()))
+                .where(
+                    (F.col("__rn") >= F.floor(F.col("__nn") * 0.05))
+                    & (F.col("__rn") < F.floor(F.col("__nn") * 0.95))
+                )
+                .agg(F.avg("__r"))
+                .collect()[0][0]
+            )
         score_with = lambda g: g.withColumn(  # noqa: E731
             "_SCORE", F.abs(F.col(m) - F.lit(med)) / F.lit(mad)
         )
@@ -734,9 +752,11 @@ def _run_grid_dumping(
         dump_mixture_components(model, mix_suffix, out_dir)
 
     # BatchingPercentileClassifier: r6 percentile of the score, flag >=
+    from macrobase_spark.operators.legacy_transforms import _r6_fraction
+
     target = float(conf.get("targetPercentile", 0.99))
     n = scored.count()
-    q = min(max((target * (n + 1) - 1.0) / (n - 1.0), 0.0), 1.0) if n > 1 else 0.5
+    q = _r6_fraction(target * 100.0, n)
     cut = float(scored.agg(F.percentile(F.col("_SCORE"), q)).collect()[0][0])
     classified = scored.withColumn(
         OUTLIER_COL,
