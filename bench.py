@@ -294,6 +294,9 @@ def main() -> int:
     for name in HEADLINE + EXTRA:
         fn = bench_only.get(name) or Q.QUERIES.get(name)
         if fn is None:
+            # no silent coverage gaps: a listed-but-unregistered query is a
+            # wiring bug (a module missing from the import block above)
+            print(f"# SKIPPED (unregistered): {name}", file=sys.stderr)
             continue
         best, n = None, 0
         for _ in range(reps):
