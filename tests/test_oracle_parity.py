@@ -33,6 +33,9 @@ import macrobase_spark.operators.contrib_stats  # noqa: F401
 import macrobase_spark.operators.kalman  # noqa: F401
 import macrobase_spark.operators.arima  # noqa: F401
 import macrobase_spark.operators.vargmm  # noqa: F401
+import macrobase_spark.operators.contextual  # noqa: F401
+import macrobase_spark.operators.ew  # noqa: F401
+import macrobase_spark.operators.legacy_transforms  # noqa: F401
 from tests.oracle_util import compare, duck_con
 
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
