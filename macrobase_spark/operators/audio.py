@@ -293,11 +293,45 @@ _REF_CACHE_ENTRY_MAX = 1_000_000  # never cache a render above ~8 MB
 _REF_CACHE_SAMPLES = [0]
 
 
+_REF_BANK: dict = {}
+
+
 def _ref_matrix(sr: int, ns: int, f0s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(renders, signal powers): the reference matrix for a chunk plus each
     row's Σref² — the power is a function of the render alone, so it is
     cached WITH the render and the scoring loop never re-reduces the
-    reference matrix."""
+    reference matrix.
+
+    Fast path: tone_hz lands on exactly the 400 integer tones [100, 500),
+    so per (sr, ns) a dense render BANK serves any chunk with ONE
+    fancy-index gather instead of a per-row dict-get + row copy (the ref
+    fill was ~15% of the scoring kernel). Non-integer or out-of-range f0s
+    (generic callers) take the legacy per-key path below."""
+    k = f0s.astype(np.int64) - 100
+    if (
+        len(f0s)
+        and k.min() >= 0
+        and k.max() < 400
+        and np.array_equal(f0s, (k + 100).astype(np.float64))
+        and 400 * ns <= _REF_CACHE_ENTRY_MAX
+    ):
+        bank = _REF_BANK.get((sr, ns))
+        if bank is None and _REF_CACHE_SAMPLES[0] + 400 * ns <= _REF_CACHE_MAX_SAMPLES:
+            bank = (
+                np.zeros((400, ns), dtype=np.float64),
+                np.zeros(400, dtype=np.float64),
+                np.zeros(400, dtype=bool),
+            )
+            _REF_BANK[(sr, ns)] = bank
+            _REF_CACHE_SAMPLES[0] += 400 * ns
+        if bank is not None:
+            M, psb, made = bank
+            for kk in np.unique(k[~made[k]]):
+                r = 0.8 * sin_samples(2 * np.pi * (float(kk) + 100.0) / sr, ns)
+                M[kk] = r
+                psb[kk] = float(r @ r)
+                made[kk] = True
+            return M[k], psb[k]
     out = np.empty((len(f0s), ns), dtype=np.float64)
     ssq = np.empty(len(f0s), dtype=np.float64)
     for k, f0 in enumerate(f0s):
@@ -512,6 +546,40 @@ def _decode_wav_i16(raw: np.ndarray) -> tuple[int, np.ndarray] | None:
     return sr, pcm
 
 
+def _parse_pcm16_headers(
+    offsets: np.ndarray, data: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized canonical-PCM16 WAV header parse over a whole Arrow batch:
+    one (m, 44) gather + columnar field math instead of m per-row Python
+    parses. Accepts EXACTLY the payloads `_decode_wav_i16` accepts (len ≥ 44,
+    RIFF/WAVE magic, even data length, body not truncated) and reads the
+    same fixed header offsets (sr @ 24:28, data length @ 40:44).
+
+    Returns (ok, sr, n_samples) arrays; sr/n_samples are 0 where not ok."""
+    n = len(offsets) - 1
+    plen = np.diff(offsets).astype(np.int64)
+    ok = np.zeros(n, dtype=bool)
+    sr = np.zeros(n, dtype=np.int64)
+    ns = np.zeros(n, dtype=np.int64)
+    cand = np.flatnonzero(plen >= 44)
+    if cand.size == 0:
+        return ok, sr, ns
+    H = data[np.asarray(offsets[:-1])[cand, None] + np.arange(44)].astype(np.int64)
+    w = np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.int64)
+    magic = (
+        (H[:, 0:4] == np.frombuffer(b"RIFF", dtype=np.uint8)).all(axis=1)
+        & (H[:, 8:12] == np.frombuffer(b"WAVE", dtype=np.uint8)).all(axis=1)
+    )
+    srv = H[:, 24:28] @ w
+    nbv = H[:, 40:44] @ w
+    good = magic & (nbv % 2 == 0) & (nbv <= plen[cand] - 44)
+    rows = cand[good]
+    ok[rows] = True
+    sr[rows] = srv[good]
+    ns[rows] = nbv[good] >> 1
+    return ok, sr, ns
+
+
 def score_record_batch(b):
     """Score ONE Arrow RecordBatch of clips rows → scored RecordBatch
     (the shared kernel of both scan paths below)."""
@@ -526,54 +594,58 @@ def score_record_batch(b):
     srs = col["sr_hz"].to_numpy(zero_copy_only=False)
     offsets, data = _binary_views(col["bytes"])
     plen = np.diff(offsets).astype(np.int64)
-    out_ok = np.zeros(n, dtype=bool)
     out_snr = np.full(n, -np.inf)
-    out_srm = np.zeros(n, dtype=bool)
     out_sil = np.zeros(n)
     out_lead = np.zeros(n)
     out_trail = np.zeros(n)
     out_long = np.zeros(n)
     out_runs = np.zeros(n, dtype=np.int64)
-    # decode per clip (variable-length headers), then batch the render+SNR
-    # as one matrix op per (sr, n_samples) shape group — most clips share a
-    # shape, so sin/reductions run over 2D blocks instead of small arrays
-    decoded: list = [None] * n
-    groups: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        dec = _decode_wav_i16(data[offsets[i] : offsets[i + 1]])
-        if dec is None:
+    # vectorized header parse (same acceptance as the row-at-a-time
+    # decoder), then batch the render+SNR as one matrix op per
+    # (sr, n_samples) shape group — most clips share a shape, so
+    # sin/reductions run over 2D blocks instead of small arrays
+    out_ok, srd, nsd = _parse_pcm16_headers(offsets, data)
+    out_srm = out_ok & (srd == np.asarray(srs).astype(np.int64))
+    valid = np.flatnonzero(out_ok & (nsd > 0))
+    order = valid[np.lexsort((nsd[valid], srd[valid]))]
+    bounds = (
+        np.flatnonzero((np.diff(srd[order]) != 0) | (np.diff(nsd[order]) != 0)) + 1
+    )
+    for members in np.split(order, bounds):
+        if members.size == 0:
             continue
-        sr, pcm = dec
-        decoded[i] = pcm
-        out_ok[i] = True
-        out_srm[i] = sr == srs[i]
-        groups.setdefault((sr, len(pcm)), []).append(i)
-    for (sr, ns), members in groups.items():
-        if ns == 0:
-            continue
+        sr, ns = int(srd[members[0]]), int(nsd[members[0]])
         for s in range(0, len(members), 256):
             chunk = members[s : s + 256]
             f0 = tone_hz(np.asarray(idx)[chunk].astype(np.uint64))
             ref, ps = _ref_matrix(sr, ns, f0)
-            # one float64 matrix, filled with per-row int16→float converts,
-            # scaled in place — no int16 intermediate matrix, no per-clip
-            # astype. Σ(P−ref)² expands to ΣP² − 2ΣP·ref + Σref² so the
-            # noise matrix is never materialized and Σref² comes from the
-            # render cache: 3 passes over the samples instead of 5 — the
-            # scan stage is memory-bus-bound at high core counts, so saved
-            # traffic is saved wall-clock. Cancellation is bounded: pn is
-            # floored by the int16 quantization POWER (~1e-10·ps for a
-            # noiseless clip) while the expansion's fp error is ~1e-15·ps,
-            # so SNR is off by at most ~1e-5 dB — and only for near-exact
-            # clips far above the 30 dB threshold, where decisions never
-            # flip (near-threshold clips have real noise that dwarfs the
-            # rounding). Gated by tests/test_audio_kernel_property.py.
-            P = np.empty((len(chunk), ns), dtype=np.float64)
+            # the chunk matrix stays RAW int16 — the decoded samples are
+            # int16 views, so the fill is a memcpy and the matrix is 4×
+            # smaller than the float64 it replaces (the scan stage is
+            # memory-bus-bound at high core counts; saved traffic is saved
+            # wall-clock). Σ(P−ref)² expands to ΣP² − 2ΣP·ref + Σref² so
+            # the noise matrix is never materialized and Σref² comes from
+            # the render cache. Scaling by 2⁻¹⁵ is EXACT and commutes with
+            # every fp rounding, so the expansion over ints loses nothing:
+            #   ΣP² = (Σ I²)·2⁻³⁰ with the int64 accumulation exact
+            #         (products ≤ 2³⁰, sums ≤ 2³⁰·ns) — strictly tighter
+            #         than the float64 einsum it replaces;
+            #   ΣP·ref = (Σ I·ref)·2⁻¹⁵ bit-for-bit: float64(I)·ref and
+            #         float64(I·2⁻¹⁵)·ref round to the same mantissa.
+            # Cancellation in pn is bounded as before: pn is floored by the
+            # int16 quantization POWER (~1e-10·ps for a noiseless clip)
+            # while the expansion's fp error is ~1e-15·ps, so SNR is off by
+            # at most ~1e-5 dB — and only for near-exact clips far above
+            # the 30 dB threshold, where decisions never flip. Gated by
+            # tests/test_audio_kernel_property.py.
+            P = np.empty((len(chunk), ns), dtype=np.int16)
+            Pb = P.view(np.uint8).reshape(len(chunk), 2 * ns)
+            nb = 2 * ns
             for j, i in enumerate(chunk):
-                P[j] = decoded[i]
-            P *= 1.0 / 32768.0
-            pp = np.einsum("ij,ij->i", P, P)
-            pr = np.einsum("ij,ij->i", P, ref)
+                st = offsets[i] + 44
+                Pb[j] = data[st : st + nb]
+            pp = np.einsum("ij,ij->i", P, P, dtype=np.int64) * (1.0 / 32768.0) ** 2
+            pr = np.einsum("ij,ij->i", P, ref) * (1.0 / 32768.0)
             pn = np.maximum(pp - 2.0 * pr + ps, 0.0)
             with np.errstate(divide="ignore", invalid="ignore"):
                 snr = 10.0 * np.log10(ps / pn)
@@ -584,12 +656,13 @@ def score_record_batch(b):
             # per-clip numpy calls would dominate on ~1k-sample clips (the
             # arrays are tiny, so fixed op overhead wins; measured 2.2×
             # kernel slowdown), whereas here every step is one whole-chunk
-            # op. P = i16/32768 is exact in float64, so |P| < 0.01 selects
-            # exactly the samples the standalone float-path operator
-            # selects (bit-for-bit equality gated in test_silence).
+            # op. On raw int16, -328 < I < 328 selects exactly the samples
+            # |i16/32768| < 0.01 selects (the _SIL_I16 equivalence above;
+            # bit-for-bit equality with the standalone float-path operator
+            # gated in test_silence).
             if sr > 0:
                 ci = np.asarray(chunk)
-                Q = (P > -0.01) & (P < 0.01)
+                Q = (P > -_SIL_I16) & (P < _SIL_I16)
                 out_sil[ci] = Q.sum(axis=1) / ns
                 # run decomposition of the whole chunk at once: pad each
                 # row with a False column on both sides, diff → +1 at run

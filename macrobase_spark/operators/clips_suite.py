@@ -61,7 +61,7 @@ def scored_parquet(spark, sf_dir: str) -> str:
     from macrobase_spark.operators.audio import score_clips
 
     n = clips_n(sf_dir)
-    path = f"/tmp/mb_scored_v3_{n}.parquet"
+    path = f"/tmp/mb_scored_v4_{n}.parquet"
     if not os.path.isfile(f"{path}/_SUCCESS"):
         score_clips(clips_table(spark, sf_dir), 30.0).write.mode("overwrite").parquet(path)
     return path
@@ -84,7 +84,7 @@ def _manifest_df(spark, sf_dir: str):
 
 
 # correctness gate runs at sf0.01 → n=10000; the oracle SQL is fixed there
-_S = "read_parquet('/tmp/mb_scored_v3_10000.parquet/*.parquet')"
+_S = "read_parquet('/tmp/mb_scored_v4_10000.parquet/*.parquet')"
 _M = "read_parquet('/tmp/mb_manifest_v1_10000.parquet/*.parquet')"
 
 # ---- vectorized anomaly scorer over the scored relation (north star:

@@ -306,7 +306,7 @@ def clips_checks() -> list[Check]:
 # SAME scored parquet (engine-wide oracle recipe, clips_suite.py) — one
 # UNION ALL row per constraint, value rounded to 6, the same 1e-12 bound
 # epsilon the evaluator applies.
-_S = "read_parquet('/tmp/mb_scored_v3_10000.parquet/*.parquet')"
+_S = "read_parquet('/tmp/mb_scored_v4_10000.parquet/*.parquet')"
 
 _CONSTRAINT_ORACLE = f"""
 WITH s AS (SELECT * FROM {_S}),

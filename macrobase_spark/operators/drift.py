@@ -95,7 +95,7 @@ def psi_drift(
     )
 
 
-_S = "read_parquet('/tmp/mb_scored_v3_10000.parquet/*.parquet')"
+_S = "read_parquet('/tmp/mb_scored_v4_10000.parquet/*.parquet')"
 
 
 @register(

@@ -110,7 +110,7 @@ def sketch_column_stats(
 @register(
     "hot_keys_clips",
     """
-    WITH s AS (SELECT * FROM read_parquet('/tmp/mb_scored_v3_10000.parquet/*.parquet')),
+    WITH s AS (SELECT * FROM read_parquet('/tmp/mb_scored_v4_10000.parquet/*.parquet')),
     t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM s),
     u AS (
       SELECT 'codec' AS "column", CAST(codec AS VARCHAR) AS value FROM s

@@ -219,7 +219,7 @@ _SF = "read_parquet('/tmp/mb_silence_v1_1000.parquet/*.parquet')"
 # This query oracle-certifies the fused columns over the materialized scored
 # relation; kernel equality vs the standalone float-path operator is gated by
 # tests/test_silence.py::test_fused_equals_standalone.
-_S3 = "read_parquet('/tmp/mb_scored_v3_10000.parquet/*.parquet')"
+_S3 = "read_parquet('/tmp/mb_scored_v4_10000.parquet/*.parquet')"
 
 
 @register(

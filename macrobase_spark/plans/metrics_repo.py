@@ -158,7 +158,7 @@ def merge_profile(
 
 _COLS = ["dur_ms", "sr_hz", "payload_bytes"]
 
-_S = "read_parquet('/tmp/mb_scored_v3_10000.parquet/*.parquet')"
+_S = "read_parquet('/tmp/mb_scored_v4_10000.parquet/*.parquet')"
 
 _INC_ORACLE = f"""
 WITH s AS (SELECT * FROM {_S})
