@@ -117,6 +117,8 @@ EXTRA = [
     "legacy_transforms_events",
     "autocorr_events",
     "gaussian_mahalanobis_embeddings",
+    "asof_attribution_events",
+    "range_join_error_context",
 ]
 
 
@@ -268,6 +270,7 @@ def main() -> int:
     import macrobase_spark.operators.contextual  # noqa: F401
     import macrobase_spark.operators.ew  # noqa: F401
     import macrobase_spark.operators.legacy_transforms  # noqa: F401
+    import macrobase_spark.operators.temporal  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
