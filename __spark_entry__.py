@@ -48,6 +48,7 @@ import macrobase_spark.operators.rrcf  # noqa: E402,F401
 import macrobase_spark.operators.subspace_explainers  # noqa: E402,F401
 import macrobase_spark.operators.transcript  # noqa: E402,F401
 import macrobase_spark.operators.temporal  # noqa: E402,F401
+import macrobase_spark.operators.resample  # noqa: E402,F401
 import macrobase_spark.operators.mfcc  # noqa: E402,F401
 import macrobase_spark.operators.drift  # noqa: E402,F401
 import macrobase_spark.operators.constraints  # noqa: E402,F401

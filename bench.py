@@ -119,6 +119,7 @@ EXTRA = [
     "gaussian_mahalanobis_embeddings",
     "asof_attribution_events",
     "range_join_error_context",
+    "clips_resample_sinc_stats",
 ]
 
 
@@ -271,6 +272,7 @@ def main() -> int:
     import macrobase_spark.operators.ew  # noqa: F401
     import macrobase_spark.operators.legacy_transforms  # noqa: F401
     import macrobase_spark.operators.temporal  # noqa: F401
+    import macrobase_spark.operators.resample  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
