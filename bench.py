@@ -120,6 +120,7 @@ EXTRA = [
     "asof_attribution_events",
     "range_join_error_context",
     "clips_resample_sinc_stats",
+    "session_windows_events",
 ]
 
 

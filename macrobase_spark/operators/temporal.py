@@ -266,3 +266,54 @@ def range_join_error_context(spark, sf_dir: str) -> DataFrame:
         F.count(F.col("ref_lag_us")).alias("n_errors"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("err_value_sum"),
     )
+
+
+@register(
+    "session_windows_events",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 6 HOURS
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL 6 HOURS       AS session_end,
+           count(*)                         AS n_events,
+           round(sum(value), 2)             AS value_sum
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def session_windows_events(spark, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user activity sessions closed by a 6 h
+    inactivity gap — Spark's NATIVE session_window aggregate (one
+    partial+final session-merge aggregation, streaming-capable with a
+    watermark). The oracle replays it as gaps-and-islands SQL; Spark's
+    session end is last event + gap, which the oracle mirrors. At 10^12
+    rows this is one hash Exchange on user_id and per-key sorted merge —
+    the same cost envelope as any keyed aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )

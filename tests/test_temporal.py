@@ -154,7 +154,11 @@ def test_range_join_inner_matches_naive(spark, sf_dir):
 
 def test_registered_queries_match_oracle(spark, sf_dir):
     con = duck_con(sf_dir)
-    for name in ["asof_attribution_events", "range_join_error_context"]:
+    for name in [
+        "asof_attribution_events",
+        "range_join_error_context",
+        "session_windows_events",
+    ]:
         sdf = QUERIES[name](spark, sf_dir)
         odf = con.execute(ORACLES[name]).df()
         assert compare(sdf, odf, name) == [], name
