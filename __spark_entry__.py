@@ -37,6 +37,7 @@ import macrobase_spark.operators.vargmm  # noqa: E402,F401
 import macrobase_spark.operators.contextual  # noqa: E402,F401
 import macrobase_spark.operators.ew  # noqa: E402,F401
 import macrobase_spark.operators.legacy_transforms  # noqa: E402,F401
+import macrobase_spark.operators.loudness  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401
@@ -106,6 +107,7 @@ def entry(spark: SparkSession) -> DataFrame:
         vargmm_model_parquet,
     )
     from macrobase_spark.operators.arima import arima_predictions_parquet
+    from macrobase_spark.operators.loudness import loudness_blocks_parquet
 
     for mat in (
         scored_parquet,
@@ -134,6 +136,7 @@ def entry(spark: SparkSession) -> DataFrame:
         stochvargmm_model_parquet,
         stochdpgmm_model_parquet,
         arima_predictions_parquet,
+        loudness_blocks_parquet,
     ):
         try:
             mat(spark, sf01)

@@ -121,6 +121,7 @@ EXTRA = [
     "range_join_error_context",
     "clips_resample_sinc_stats",
     "session_windows_events",
+    "clips_loudness_stats",
 ]
 
 
@@ -274,6 +275,7 @@ def main() -> int:
     import macrobase_spark.operators.legacy_transforms  # noqa: F401
     import macrobase_spark.operators.temporal  # noqa: F401
     import macrobase_spark.operators.resample  # noqa: F401
+    import macrobase_spark.operators.loudness  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
