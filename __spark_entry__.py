@@ -38,6 +38,8 @@ import macrobase_spark.operators.contextual  # noqa: E402,F401
 import macrobase_spark.operators.ew  # noqa: E402,F401
 import macrobase_spark.operators.legacy_transforms  # noqa: E402,F401
 import macrobase_spark.operators.loudness  # noqa: E402,F401
+import macrobase_spark.operators.bandwidth  # noqa: E402,F401
+import macrobase_spark.operators.pitch  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401
@@ -108,6 +110,24 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     from macrobase_spark.operators.arima import arima_predictions_parquet
     from macrobase_spark.operators.loudness import loudness_blocks_parquet
+    from macrobase_spark.operators.bandwidth import bandwidth_features_parquet
+    from macrobase_spark.operators.pitch import pitch_features_parquet
+    from macrobase_spark.operators.clips_suite import (
+        clips_iforest_model_parquet,
+        clips_lof_model_parquet,
+    )
+    from macrobase_spark.operators.contrib_stats import (
+        bayes_model_parquet,
+        binned_kde_grid_parquet,
+        gmm_model_parquet,
+        kde_model_parquet,
+    )
+    from macrobase_spark.operators.kalman import kalman_weights_parquet
+    from macrobase_spark.operators.legacy_transforms import gaussian_model_parquet
+    from macrobase_spark.operators.pq import pq_artifacts_parquet
+    from macrobase_spark.operators.silence import silence_features_parquet
+    from macrobase_spark.operators.sniff import codec_clips_parquet
+    from macrobase_spark.sources.icetable import ice_table_fixture
 
     for mat in (
         scored_parquet,
@@ -137,6 +157,20 @@ def entry(spark: SparkSession) -> DataFrame:
         stochdpgmm_model_parquet,
         arima_predictions_parquet,
         loudness_blocks_parquet,
+        bandwidth_features_parquet,
+        pitch_features_parquet,
+        clips_iforest_model_parquet,
+        clips_lof_model_parquet,
+        kde_model_parquet,
+        gmm_model_parquet,
+        binned_kde_grid_parquet,
+        bayes_model_parquet,
+        kalman_weights_parquet,
+        gaussian_model_parquet,
+        pq_artifacts_parquet,
+        silence_features_parquet,
+        codec_clips_parquet,
+        ice_table_fixture,
     ):
         try:
             mat(spark, sf01)

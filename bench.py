@@ -122,6 +122,8 @@ EXTRA = [
     "clips_resample_sinc_stats",
     "session_windows_events",
     "clips_loudness_stats",
+    "clips_bandwidth_stats",
+    "clips_pitch_stats",
 ]
 
 
@@ -276,6 +278,8 @@ def main() -> int:
     import macrobase_spark.operators.temporal  # noqa: F401
     import macrobase_spark.operators.resample  # noqa: F401
     import macrobase_spark.operators.loudness  # noqa: F401
+    import macrobase_spark.operators.bandwidth  # noqa: F401
+    import macrobase_spark.operators.pitch  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

@@ -36,6 +36,12 @@ import macrobase_spark.operators.vargmm  # noqa: F401
 import macrobase_spark.operators.contextual  # noqa: F401
 import macrobase_spark.operators.ew  # noqa: F401
 import macrobase_spark.operators.legacy_transforms  # noqa: F401
+import macrobase_spark.operators.temporal  # noqa: F401
+import macrobase_spark.operators.resample  # noqa: F401
+import macrobase_spark.operators.loudness  # noqa: F401
+import macrobase_spark.operators.bandwidth  # noqa: F401
+import macrobase_spark.operators.pitch  # noqa: F401
+import macrobase_spark.streaming.temporal  # noqa: F401
 from tests.oracle_util import compare, duck_con
 
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
