@@ -40,6 +40,8 @@ import macrobase_spark.operators.legacy_transforms  # noqa: E402,F401
 import macrobase_spark.operators.loudness  # noqa: E402,F401
 import macrobase_spark.operators.bandwidth  # noqa: E402,F401
 import macrobase_spark.operators.pitch  # noqa: E402,F401
+import macrobase_spark.operators.ecod  # noqa: E402,F401
+import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401
@@ -112,6 +114,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.loudness import loudness_blocks_parquet
     from macrobase_spark.operators.bandwidth import bandwidth_features_parquet
     from macrobase_spark.operators.pitch import pitch_features_parquet
+    from macrobase_spark.operators.pca import pca_model_parquet
     from macrobase_spark.operators.clips_suite import (
         clips_iforest_model_parquet,
         clips_lof_model_parquet,
@@ -159,6 +162,7 @@ def entry(spark: SparkSession) -> DataFrame:
         loudness_blocks_parquet,
         bandwidth_features_parquet,
         pitch_features_parquet,
+        pca_model_parquet,
         clips_iforest_model_parquet,
         clips_lof_model_parquet,
         kde_model_parquet,

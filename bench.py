@@ -124,6 +124,8 @@ EXTRA = [
     "clips_loudness_stats",
     "clips_bandwidth_stats",
     "clips_pitch_stats",
+    "ecod_outliers_embeddings",
+    "pca_variance_embeddings",
 ]
 
 
@@ -280,6 +282,8 @@ def main() -> int:
     import macrobase_spark.operators.loudness  # noqa: F401
     import macrobase_spark.operators.bandwidth  # noqa: F401
     import macrobase_spark.operators.pitch  # noqa: F401
+    import macrobase_spark.operators.ecod  # noqa: F401
+    import macrobase_spark.operators.pca  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

@@ -41,6 +41,8 @@ import macrobase_spark.operators.resample  # noqa: F401
 import macrobase_spark.operators.loudness  # noqa: F401
 import macrobase_spark.operators.bandwidth  # noqa: F401
 import macrobase_spark.operators.pitch  # noqa: F401
+import macrobase_spark.operators.ecod  # noqa: F401
+import macrobase_spark.operators.pca  # noqa: F401
 import macrobase_spark.streaming.temporal  # noqa: F401
 from tests.oracle_util import compare, duck_con
 
