@@ -73,6 +73,7 @@ EXTRA = [
     "psi_drift_clips",
     "flac_snr_suite",
     "ks_drift_clips",
+    "w1_drift_clips",
     "hot_keys_clips",
     "sketch_column_stats_clips",
     "silence_stats",

@@ -243,6 +243,126 @@ def ks_drift_clips_q(spark, sf_dir):
     return ks_drift(scored, "dur_ms", ["codec"], n_bins=20, min_d=0.1)
 
 
+def w1_drift(
+    df: DataFrame,
+    metric: str,
+    group_cols: list[str],
+    n_bins: int = 20,
+    min_w1: float = 50.0,
+    edges: list[float] | None = None,
+) -> DataFrame:
+    """Per-group Wasserstein-1 (earth-mover) drift of `metric` vs the
+    global distribution, on the global quantile grid.
+
+    W1 = ∫|CDF_g − CDF_global| dt, discretized over the interior edge
+    span: Σ_j |CDF_g(e_j) − CDF_global(e_j)|·(e_{j+1} − e_j). Unlike KS
+    (max CDF gap, unitless) and PSI (log-share divergence), W1 reads in
+    the METRIC'S OWN UNITS (here: milliseconds of duration shifted) —
+    the quantity a data-quality SLA can actually bound. Same plan shape
+    as ks_drift: one edges pass, one groupBy(group, bin) count, window
+    cumsums over the tiny |groups|×|bins| aggregate; the edge widths
+    enter as a broadcast literal array. Exact-percentile edges here so
+    the DuckDB oracle matches; swap approx_percentile at cluster scale.
+
+    Returns (group_cols…, n, w1, drifted) — drifted = w1 ≥ min_w1.
+    """
+    from pyspark.sql import Window
+
+    if edges is None:
+        edges = quantile_edges(df, metric, n_bins)
+    widths = [edges[j + 1] - edges[j] for j in range(len(edges) - 1)]
+    binned = df.select(*group_cols, _bin_expr(metric, edges))
+    counts = binned.groupBy(*group_cols, "bin").agg(F.count(F.lit(1)).alias("c"))
+    gtot = binned.count()
+    gcnt = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("gc"))
+    groups = counts.groupBy(*group_cols).agg(F.sum("c").alias("n"))
+    grid = groups.crossJoin(F.broadcast(gcnt.select("bin")))
+    dense = (
+        grid.join(counts, [*group_cols, "bin"], "left")
+        .na.fill({"c": 0})
+        .join(F.broadcast(gcnt), "bin")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # bin b's cumulative share is the CDF at edge e_{b+1}; its weight is
+    # the span to the next edge (0 past the last interior edge)
+    warr = F.array(*[F.lit(float(x)) for x in widths])
+    cum = dense.select(
+        *group_cols,
+        "n",
+        (F.sum("c").over(w) / F.col("n")).alias("cum_a"),
+        (F.sum("gc").over(w) / F.lit(float(gtot))).alias("cum_e"),
+        F.coalesce(F.try_element_at(warr, F.col("bin") + 1), F.lit(0.0)).alias("wd"),
+    )
+    return (
+        cum.groupBy(*group_cols, "n")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("cum_a") - F.col("cum_e")) * F.col("wd")), 6
+            ).alias("w1")
+        )
+        .select(
+            *group_cols,
+            F.col("n").cast("long").alias("n"),
+            "w1",
+            (F.col("w1") >= F.lit(min_w1)).alias("drifted"),
+        )
+    )
+
+
+@register(
+    "w1_drift_clips",
+    f"""
+    WITH e AS (
+      SELECT unnest(quantile_cont(dur_ms, [
+        0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5,
+        0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95
+      ])) AS edge FROM {_S}
+    ),
+    widths AS (
+      SELECT row_number() OVER (ORDER BY edge) - 1 AS bin,
+             coalesce(lead(edge) OVER (ORDER BY edge) - edge, 0.0) AS wd
+      FROM e
+    ),
+    binned AS (
+      SELECT codec,
+             (SELECT CAST(count(*) FILTER (s.dur_ms > e.edge) AS INT) FROM e) AS bin
+      FROM {_S} s
+    ),
+    gtot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM binned),
+    gcnt AS (SELECT bin, count(*) AS gc FROM binned GROUP BY bin),
+    groups AS (SELECT codec, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY codec),
+    counts AS (SELECT codec, bin, count(*) AS c FROM binned GROUP BY codec, bin),
+    dense AS (
+      SELECT g.codec, g.n, gc.bin, coalesce(c.c, 0) AS c, gc.gc,
+             coalesce(w.wd, 0.0) AS wd
+      FROM groups g CROSS JOIN gcnt gc
+      LEFT JOIN counts c ON c.codec = g.codec AND c.bin = gc.bin
+      LEFT JOIN widths w ON w.bin = gc.bin
+    ),
+    cum AS (
+      SELECT codec, n, wd,
+             sum(c)  OVER (PARTITION BY codec ORDER BY bin) / CAST(n AS DOUBLE) AS cum_a,
+             sum(gc) OVER (PARTITION BY codec ORDER BY bin) / (SELECT t FROM gtot) AS cum_e
+      FROM dense
+    )
+    SELECT codec, n,
+           round(sum(abs(cum_a - cum_e) * wd), 6) AS w1,
+           round(sum(abs(cum_a - cum_e) * wd), 6) >= 50.0 AS drifted
+    FROM cum GROUP BY codec, n
+    """,
+)
+def w1_drift_clips_q(spark, sf_dir):
+    """Quantile-grid Wasserstein-1 of dur_ms by codec over the scored clips
+    relation — reports the planted aac duration drift (×3) in
+    MILLISECONDS of shifted duration mass."""
+    from macrobase_spark.operators.clips_suite import scored_parquet
+
+    scored = spark.read.parquet(scored_parquet(spark, sf_dir))
+    return w1_drift(scored, "dur_ms", ["codec"], n_bins=20, min_w1=50.0)
+
+
 def snapshot_shares(
     ref_df: DataFrame, metric: str, n_bins: int = 10
 ) -> tuple[list[float], list[float]]:

@@ -188,3 +188,50 @@ def test_categorical_drift_other_pooling_and_nulls(spark):
     row = categorical_drift(ref, cur, "cat", ["grp"], top_k=2).collect()[0]
     # zzz and NULL both land in __other__, matching the ref tail exactly
     assert row["psi"] < 1e-6 and not row["psi_drifted"]
+
+
+def test_w1_planted_shift_in_metric_units(shifted):
+    from macrobase_spark.operators.drift import w1_drift
+
+    got = {
+        r["g"]: (r["w1"], r["drifted"])
+        for r in w1_drift(shifted, "v", ["g"], min_w1=10.0).collect()
+    }
+    # c is N(160,10) vs pooled ~N(104): the grid-truncated W1 must read a
+    # large fraction of the ~56-unit shift; clean groups read ~0
+    assert got["c"][1] is True and got["c"][0] > 25.0
+    assert got["a"][1] is False and got["a"][0] < 6.0
+    assert got["b"][1] is False and got["b"][0] < 6.0
+
+
+def test_w1_matches_numpy_on_grid(spark):
+    """Grid W1 == the same discretization computed in numpy from the
+    exact edges + counts (independent reimplementation)."""
+    import numpy as np
+
+    from macrobase_spark.operators.drift import quantile_edges, w1_drift
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(50.0, 5.0, 1500)
+    b = rng.normal(62.0, 8.0, 500)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    edges = quantile_edges(df, "v", 20)
+    got = {r["g"]: r["w1"] for r in w1_drift(df, "v", ["g"], n_bins=20).collect()}
+    allv = np.concatenate([a, b])
+    for g, vals in (("a", a), ("b", b)):
+        w1 = 0.0
+        for j in range(len(edges) - 1):
+            ca = (vals <= edges[j]).mean()
+            ce = (allv <= edges[j]).mean()
+            w1 += abs(ca - ce) * (edges[j + 1] - edges[j])
+        assert got[g] == pytest.approx(w1, abs=1e-6)
+
+
+def test_w1_group_grain_no_python(shifted):
+    from macrobase_spark.operators.drift import w1_drift
+
+    out = w1_drift(shifted, "v", ["g"])
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
