@@ -60,6 +60,7 @@ import macrobase_spark.operators.constraints  # noqa: E402,F401
 import macrobase_spark.plans.metrics_repo  # noqa: E402,F401
 import macrobase_spark.sources.icetable  # noqa: E402,F401
 import macrobase_spark.functions.skew  # noqa: E402,F401
+import macrobase_spark.functions.sampling  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

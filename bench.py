@@ -127,6 +127,8 @@ EXTRA = [
     "clips_pitch_stats",
     "ecod_outliers_embeddings",
     "pca_variance_embeddings",
+    "split_balance_documents",
+    "stratified_sample_documents",
 ]
 
 
@@ -267,6 +269,7 @@ def main() -> int:
     import macrobase_spark.operators.silence  # noqa: F401
     import macrobase_spark.operators.sniff  # noqa: F401
     import macrobase_spark.functions.skew  # noqa: F401
+    import macrobase_spark.functions.sampling  # noqa: F401
     import macrobase_spark.operators.mfcc  # noqa: F401
     import macrobase_spark.sources.icetable  # noqa: F401
     import macrobase_spark.operators.constraints  # noqa: F401
