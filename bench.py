@@ -129,6 +129,7 @@ EXTRA = [
     "pca_variance_embeddings",
     "split_balance_documents",
     "stratified_sample_documents",
+    "hbos_outliers_embeddings",
 ]
 
 
@@ -288,6 +289,7 @@ def main() -> int:
     import macrobase_spark.operators.pitch  # noqa: F401
     import macrobase_spark.operators.ecod  # noqa: F401
     import macrobase_spark.operators.pca  # noqa: F401
+    import macrobase_spark.operators.hbos  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
