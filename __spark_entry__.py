@@ -43,6 +43,7 @@ import macrobase_spark.operators.pitch  # noqa: E402,F401
 import macrobase_spark.operators.ecod  # noqa: E402,F401
 import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hbos  # noqa: E402,F401
+import macrobase_spark.operators.components  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401

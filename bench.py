@@ -130,6 +130,7 @@ EXTRA = [
     "split_balance_documents",
     "stratified_sample_documents",
     "hbos_outliers_embeddings",
+    "dedup_clusters_documents",
 ]
 
 
@@ -290,6 +291,7 @@ def main() -> int:
     import macrobase_spark.operators.ecod  # noqa: F401
     import macrobase_spark.operators.pca  # noqa: F401
     import macrobase_spark.operators.hbos  # noqa: F401
+    import macrobase_spark.operators.components  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
