@@ -131,6 +131,7 @@ EXTRA = [
     "stratified_sample_documents",
     "hbos_outliers_embeddings",
     "dedup_clusters_documents",
+    "knn_graph_embeddings",
 ]
 
 

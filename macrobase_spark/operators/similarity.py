@@ -700,3 +700,103 @@ def ivf_index_dir(spark, sf_dir: str) -> tuple[str, np.ndarray]:
     if not os.path.isfile(f"{path}/_SUCCESS"):
         ivf_build_index(e, "vec_id", "embedding", C, path)
     return path, C
+
+
+# ---------------------------------------------------------------------------
+# exact kNN graph (self-join top-k) — the baseline the LSH/IVF paths bound
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    max_rows: int = 200_000,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph by cosine: for EVERY vector, its top-k
+    neighbors (self excluded). The normalized corpus matrix is broadcast
+    into the scan closure, so the whole graph is ONE map-only pass — each
+    Arrow batch does one GEMM against the corpus and emits complete,
+    already-final top-k rows (no shuffle, no merge: every row sees every
+    column of the corpus inside its own task).
+
+    Exact all-pairs is quadratic by definition; `max_rows` refuses to run
+    past the broadcast bound — past it, use the LSH
+    (`lsh_cosine_candidates`) or IVF (`ivf_topk`, centroid-partitioned
+    index) paths, which exist precisely to bound this. The kNN graph is
+    the standard substrate for graph dedup, embedding diagnostics and
+    ANN-recall ground truth."""
+    n_total = df.count()
+    if n_total > max_rows:
+        raise ValueError(
+            f"knn_graph is exact/quadratic: {n_total} rows > max_rows={max_rows}; "
+            "use lsh_cosine_candidates or ivf_topk for corpora past the "
+            "broadcast bound"
+        )
+    rows = df.select(id_col, vec_col).collect()
+    c_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    c_mat = _normalize(
+        np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("rnk", IntegerType()),
+            StructField("nbr_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = _normalize(_as_matrix(pdf[vec_col]))
+            sims = m @ c_mat.T  # (batch, corpus)
+            sims[ids[:, None] == c_ids[None, :]] = -np.inf  # exclude self
+            kk = min(k, sims.shape[1] - 1)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_id, out_rnk, out_nbr, out_cos = [], [], [], []
+            for i in range(len(ids)):
+                cand = part[i]
+                # final order: cos desc, nbr_id asc (ties) — already complete
+                order = cand[np.lexsort((c_ids[cand], -sims[i, cand]))]
+                out_id.extend([ids[i]] * kk)
+                out_rnk.extend(range(1, kk + 1))
+                out_nbr.extend(c_ids[order])
+                out_cos.extend(sims[i, order])
+            yield pd.DataFrame(
+                {
+                    "vec_id": out_id,
+                    "rnk": out_rnk,
+                    "nbr_id": out_nbr,
+                    "cos": np.round(out_cos, 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+@register(
+    "knn_graph_embeddings",
+    f"""
+    SELECT vec_id, rnk, nbr_id, cos FROM (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC, b.vec_id
+             ) AS rnk
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rnk <= 5
+    """,
+)
+def knn_graph_embeddings(spark, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbor graph over the embeddings table — the
+    ANN-recall ground truth; the oracle replays the full quadratic
+    self-join with a rank window."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_graph(e, "vec_id", "embedding", k=5)
