@@ -133,3 +133,60 @@ def ecod_outliers_embeddings(spark, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("vec_id", "score")
     )
+
+
+def ecod_scores_approx(
+    df: DataFrame,
+    array_col: str = "embedding",
+    id_cols: list[str] | None = None,
+    n_bins: int = 64,
+) -> DataFrame:
+    """The 10^12-row ECOD path: tail probabilities from a per-dimension
+    quantile GRID instead of exact per-value ranks, removing the per-dim
+    sort entirely. p_l(v) ~ (#grid edges below v + 0.5)/n_bins (midpoint
+    rule; p_r symmetric), so the plan is: one percentile aggregate per
+    dim (swap F.percentile for approx_percentile on clusters — identical
+    shape), a broadcast join of the 64xn_bins edge relation, one
+    (vec, dim) count aggregate, and the same tail aggregation as the
+    exact path. Accuracy grows with n_bins; ranking fidelity vs the
+    exact scorer is pinned in tests/test_ecod.py."""
+    id_cols = id_cols or ["vec_id"]
+    x = df.select(*id_cols, F.posexplode(array_col).alias("dim", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    ps = [k / n_bins for k in range(1, n_bins)]
+    edges = x.groupBy("dim").agg(F.explode(F.percentile("v", ps)).alias("edge"))
+    sk = (
+        x.groupBy("dim")
+        .agg(
+            F.sum("v").alias("s1"),
+            F.sum(F.pow("v", 2)).alias("s2"),
+            F.sum(F.pow("v", 3)).alias("s3"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "dim",
+            (
+                F.col("s3")
+                - 3.0 * (F.col("s1") / F.col("n")) * F.col("s2")
+                + 2.0 * F.col("n") * F.pow(F.col("s1") / F.col("n"), 3)
+                < 0
+            ).alias("left_skewed"),
+        )
+    )
+    binned = (
+        x.join(F.broadcast(edges), "dim")
+        .groupBy(*id_cols, "dim")
+        .agg(F.sum((F.col("v") > F.col("edge")).cast("int")).alias("idx"))
+    )
+    p_l = (F.col("idx") + 0.5) / F.lit(float(n_bins))
+    p_r = (F.lit(float(n_bins)) - F.col("idx") - 0.5) / F.lit(float(n_bins))
+    per_dim = binned.join(F.broadcast(sk), "dim").select(
+        *id_cols,
+        (-F.log(p_l)).alias("ol"),
+        (-F.log(p_r)).alias("orr"),
+        F.when(F.col("left_skewed"), -F.log(p_l)).otherwise(-F.log(p_r)).alias("oa"),
+    )
+    return per_dim.groupBy(*id_cols).agg(
+        F.greatest(F.sum("ol"), F.sum("orr"), F.sum("oa")).alias("_SCORE")
+    )

@@ -64,3 +64,26 @@ def test_registered_query_matches_oracle(spark):
     for g, (vid, score) in zip(got, want):
         assert g["vec_id"] == vid
         assert g["score"] == pytest.approx(score, abs=1e-4)
+
+
+def test_approx_tracks_exact_ranking(spark):
+    """The sortless quantile-grid scorer must reproduce the exact
+    scorer's ranking: high rank correlation and near-total top-20
+    overlap on the real embeddings table."""
+    from macrobase_spark.operators.ecod import ecod_scores_approx
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {r["vec_id"]: r["_SCORE"] for r in ecod_scores(emb).collect()}
+    approx = {r["vec_id"]: r["_SCORE"] for r in ecod_scores_approx(emb, n_bins=64).collect()}
+    ids = sorted(exact)
+    import numpy as np
+
+    e = np.array([exact[i] for i in ids])
+    a = np.array([approx[i] for i in ids])
+    re_ = np.argsort(np.argsort(e))
+    ra = np.argsort(np.argsort(a))
+    rho = np.corrcoef(re_, ra)[0, 1]
+    assert rho > 0.95
+    top_e = set(sorted(exact, key=exact.get, reverse=True)[:20])
+    top_a = set(sorted(approx, key=approx.get, reverse=True)[:20])
+    assert len(top_e & top_a) >= 15
