@@ -78,3 +78,34 @@ def test_registered_query_matches_oracle(spark):
     want = sorted(con.execute(ORACLES["dedup_clusters_documents"]).fetchall())
     assert got == want
     assert len(got) > 0
+
+
+def test_star_matches_min_label_on_random_graph(spark):
+    from macrobase_spark.operators.components import connected_components_star
+
+    rng = np.random.default_rng(8)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 200, size=(220, 2))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ml = {r["node"]: r["rep"] for r in connected_components(df).collect()}
+    st = {r["node"]: r["rep"] for r in connected_components_star(df).collect()}
+    assert st == ml
+
+
+def test_star_closes_long_chain_in_few_rounds(spark):
+    """A 300-node path has diameter 300 — min-label would need ~300
+    rounds; the star alternation halves the stride per round and closes
+    it in ceil(log2(300)) + 1 = 10 alternations."""
+    from macrobase_spark.operators.components import connected_components_star
+
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["rep"]
+        for r in connected_components_star(df, max_iter=10).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 301
