@@ -60,6 +60,10 @@ def stratified_sample(
     float. Pure filter — no shuffle, no state."""
     u = unit_hash(F.col(key), salt)
     if isinstance(rates, dict):
+        if rate_by is None:
+            raise ValueError("per-stratum rates need rate_by=<stratum column>")
+        if not rates:
+            raise ValueError("rates dict is empty — every row would be dropped")
         expr = None
         for stratum, r in rates.items():
             cond = (F.col(rate_by) == F.lit(stratum)) & (u < F.lit(float(r)))
@@ -78,6 +82,9 @@ def split_assign(
     """Append a split label by cumulative unit-hash thresholds (insertion
     order of `splits` fixes the interval layout; weights must sum to 1)."""
     splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(float(w) for w in splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
     u = unit_hash(F.col(key), salt)
     expr, acc = None, 0.0
     names = list(splits)

@@ -49,6 +49,7 @@ def connected_components(
     )
     sym = sym.localCheckpoint()
     labels = sym.select("node").distinct().withColumn("rep", F.col("node"))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -72,6 +73,16 @@ def connected_components(
         labels = new_labels.select("node", "rep")
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): the graph diameter exceeds "
+            "max_iter and the returned labels split real components. Raise "
+            "max_iter or use connected_components_star (O(log n) rounds).",
+            stacklevel=2,
+        )
     return labels
 
 

@@ -38,26 +38,12 @@ from pyspark.sql import functions as F
 from macrobase_spark.queries import register
 
 
-def ecod_scores(df: DataFrame, array_col: str = "embedding", id_cols: list[str] | None = None) -> DataFrame:
-    """Append `_SCORE` (ECOD outlier score) per row of an array-column
-    DataFrame. Higher = more outlying. Pure window/aggregate plan."""
-    id_cols = id_cols or ["vec_id"]
-    x = df.select(
-        *id_cols, F.posexplode(array_col).alias("dim", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    w_asc = Window.partitionBy("dim").orderBy("v")
-    w_desc = Window.partitionBy("dim").orderBy(F.col("v").desc())
-    t = x.select(
-        *id_cols,
-        "dim",
-        "v",
-        F.cume_dist().over(w_asc).alias("p_l"),
-        F.cume_dist().over(w_desc).alias("p_r"),
-    )
-    # third-central-moment sign from raw moments in ONE aggregate pass
-    # (sum((v-mu)^3) = S3 - 3*mu*S2 + 2*n*mu^3, identical in the oracle):
-    # only the sign is consumed, so raw-moment cancellation is harmless.
-    sk = (
+def _left_skewed(x: DataFrame) -> DataFrame:
+    """(dim, left_skewed) — third-central-moment sign from raw moments in
+    ONE aggregate pass (sum((v-mu)^3) = S3 - 3*mu*S2 + 2*n*mu^3, identical
+    in the oracle): only the sign is consumed, so raw-moment cancellation
+    is harmless. Shared by the exact and approx scorers."""
+    return (
         x.groupBy("dim")
         .agg(
             F.sum("v").alias("s1"),
@@ -75,6 +61,25 @@ def ecod_scores(df: DataFrame, array_col: str = "embedding", id_cols: list[str] 
             ).alias("left_skewed"),
         )
     )
+
+
+def ecod_scores(df: DataFrame, array_col: str = "embedding", id_cols: list[str] | None = None) -> DataFrame:
+    """Append `_SCORE` (ECOD outlier score) per row of an array-column
+    DataFrame. Higher = more outlying. Pure window/aggregate plan."""
+    id_cols = id_cols or ["vec_id"]
+    x = df.select(
+        *id_cols, F.posexplode(array_col).alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    w_asc = Window.partitionBy("dim").orderBy("v")
+    w_desc = Window.partitionBy("dim").orderBy(F.col("v").desc())
+    t = x.select(
+        *id_cols,
+        "dim",
+        "v",
+        F.cume_dist().over(w_asc).alias("p_l"),
+        F.cume_dist().over(w_desc).alias("p_r"),
+    )
+    sk = _left_skewed(x)
     per_dim = t.join(F.broadcast(sk), "dim").select(
         *id_cols,
         (-F.log("p_l")).alias("ol"),
@@ -156,24 +161,7 @@ def ecod_scores_approx(
     )
     ps = [k / n_bins for k in range(1, n_bins)]
     edges = x.groupBy("dim").agg(F.explode(F.percentile("v", ps)).alias("edge"))
-    sk = (
-        x.groupBy("dim")
-        .agg(
-            F.sum("v").alias("s1"),
-            F.sum(F.pow("v", 2)).alias("s2"),
-            F.sum(F.pow("v", 3)).alias("s3"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "dim",
-            (
-                F.col("s3")
-                - 3.0 * (F.col("s1") / F.col("n")) * F.col("s2")
-                + 2.0 * F.col("n") * F.pow(F.col("s1") / F.col("n"), 3)
-                < 0
-            ).alias("left_skewed"),
-        )
-    )
+    sk = _left_skewed(x)
     binned = (
         x.join(F.broadcast(edges), "dim")
         .groupBy(*id_cols, "dim")

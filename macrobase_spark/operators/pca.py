@@ -110,7 +110,10 @@ def pca_model_parquet(spark, sf_dir: str, top_k: int = _TOP_K) -> str:
     var_ratio) rows for the top_k components."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
-    path = f"/tmp/mb_pca_model_v1_{n}_{top_k}.parquet"
+    # cache key carries the sf directory name, not just the row count — two
+    # datasets of equal size must not share a fitted model
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/mb_pca_model_v1_{tag}_{n}_{top_k}.parquet"
     if not os.path.isfile(f"{path}/_SUCCESS"):
         mu, vals, W = fit_pca(emb)
         total = float(vals.sum()) or 1.0
@@ -133,7 +136,7 @@ def pca_model_parquet(spark, sf_dir: str, top_k: int = _TOP_K) -> str:
 
 
 _EMB = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
-_MODEL = "read_parquet('/tmp/mb_pca_model_v1_500_8.parquet/*.parquet')"
+_MODEL = "read_parquet('/tmp/mb_pca_model_v1_sf0.01_500_8.parquet/*.parquet')"
 
 _PCA_ORACLE = f"""
 WITH x AS (

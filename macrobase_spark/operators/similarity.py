@@ -727,22 +727,26 @@ def knn_graph(
     index) paths, which exist precisely to bound this. The kNN graph is
     the standard substrate for graph dedup, embedding diagnostics and
     ANN-recall ground truth."""
-    n_total = df.count()
-    if n_total > max_rows:
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"knn_graph is exact/quadratic: {n_total} rows > max_rows={max_rows}; "
+            f"knn_graph is exact/quadratic: input exceeds max_rows={max_rows}; "
             "use lsh_cosine_candidates or ivf_topk for corpora past the "
             "broadcast bound"
         )
-    rows = df.select(id_col, vec_col).collect()
-    c_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    try:
+        c_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"knn_graph needs integer ids in {id_col!r} (got non-integral values)"
+        ) from exc
     c_mat = _normalize(
         np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     )
 
     out_schema = StructType(
         [
-            StructField("vec_id", LongType()),
+            StructField(id_col, LongType()),
             StructField("rnk", IntegerType()),
             StructField("nbr_id", LongType()),
             StructField("cos", DoubleType()),
@@ -761,16 +765,19 @@ def knn_graph(
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             out_id, out_rnk, out_nbr, out_cos = [], [], [], []
             for i in range(len(ids)):
-                cand = part[i]
-                # final order: cos desc, nbr_id asc (ties) — already complete
-                order = cand[np.lexsort((c_ids[cand], -sims[i, cand]))]
+                # widen the argpartition cut to EVERY candidate tied with the
+                # k-th value, so boundary ties resolve by (cos desc, id asc)
+                # exactly like the oracle's row_number — not arbitrarily
+                thresh = sims[i, part[i]].min()
+                cand = np.flatnonzero(sims[i] >= thresh)
+                order = cand[np.lexsort((c_ids[cand], -sims[i, cand]))][:kk]
                 out_id.extend([ids[i]] * kk)
                 out_rnk.extend(range(1, kk + 1))
                 out_nbr.extend(c_ids[order])
                 out_cos.extend(sims[i, order])
             yield pd.DataFrame(
                 {
-                    "vec_id": out_id,
+                    id_col: out_id,
                     "rnk": out_rnk,
                     "nbr_id": out_nbr,
                     "cos": np.round(out_cos, 6),
