@@ -44,6 +44,7 @@ import macrobase_spark.operators.ecod  # noqa: E402,F401
 import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hbos  # noqa: E402,F401
 import macrobase_spark.operators.components  # noqa: E402,F401
+import macrobase_spark.operators.pii  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401
@@ -118,6 +119,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.bandwidth import bandwidth_features_parquet
     from macrobase_spark.operators.pitch import pitch_features_parquet
     from macrobase_spark.operators.pca import pca_model_parquet
+    from macrobase_spark.operators.pii import pii_docs_parquet
     from macrobase_spark.operators.clips_suite import (
         clips_iforest_model_parquet,
         clips_lof_model_parquet,
@@ -166,6 +168,7 @@ def entry(spark: SparkSession) -> DataFrame:
         bandwidth_features_parquet,
         pitch_features_parquet,
         pca_model_parquet,
+        pii_docs_parquet,
         clips_iforest_model_parquet,
         clips_lof_model_parquet,
         kde_model_parquet,

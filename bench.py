@@ -132,6 +132,7 @@ EXTRA = [
     "hbos_outliers_embeddings",
     "dedup_clusters_documents",
     "knn_graph_embeddings",
+    "pii_scan_documents",
 ]
 
 
@@ -293,6 +294,7 @@ def main() -> int:
     import macrobase_spark.operators.pca  # noqa: F401
     import macrobase_spark.operators.hbos  # noqa: F401
     import macrobase_spark.operators.components  # noqa: F401
+    import macrobase_spark.operators.pii  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
