@@ -45,6 +45,7 @@ import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hbos  # noqa: E402,F401
 import macrobase_spark.operators.components  # noqa: E402,F401
 import macrobase_spark.operators.pii  # noqa: E402,F401
+import macrobase_spark.operators.scorecard  # noqa: E402,F401
 import macrobase_spark.operators.hics  # noqa: E402,F401
 import macrobase_spark.operators.hst  # noqa: E402,F401
 import macrobase_spark.operators.image  # noqa: E402,F401
@@ -120,6 +121,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.pitch import pitch_features_parquet
     from macrobase_spark.operators.pca import pca_model_parquet
     from macrobase_spark.operators.pii import pii_docs_parquet
+    from macrobase_spark.operators.scorecard import scorecard_parquet
     from macrobase_spark.operators.clips_suite import (
         clips_iforest_model_parquet,
         clips_lof_model_parquet,
@@ -169,6 +171,7 @@ def entry(spark: SparkSession) -> DataFrame:
         pitch_features_parquet,
         pca_model_parquet,
         pii_docs_parquet,
+        scorecard_parquet,
         clips_iforest_model_parquet,
         clips_lof_model_parquet,
         kde_model_parquet,

@@ -133,6 +133,7 @@ EXTRA = [
     "dedup_clusters_documents",
     "knn_graph_embeddings",
     "pii_scan_documents",
+    "clips_qa_scorecard",
 ]
 
 
@@ -295,6 +296,7 @@ def main() -> int:
     import macrobase_spark.operators.hbos  # noqa: F401
     import macrobase_spark.operators.components  # noqa: F401
     import macrobase_spark.operators.pii  # noqa: F401
+    import macrobase_spark.operators.scorecard  # noqa: F401
     from macrobase_spark.session import get_spark
 
     spark = get_spark("mb-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

@@ -47,6 +47,7 @@ import macrobase_spark.functions.sampling  # noqa: F401
 import macrobase_spark.operators.hbos  # noqa: F401
 import macrobase_spark.operators.components  # noqa: F401
 import macrobase_spark.operators.pii  # noqa: F401
+import macrobase_spark.operators.scorecard  # noqa: F401
 import macrobase_spark.streaming.temporal  # noqa: F401
 from tests.oracle_util import compare, duck_con
 

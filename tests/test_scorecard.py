@@ -1,0 +1,66 @@
+"""Fused QA scorecard: every planted defect fires exactly its flag,
+clean clips pass, and the registered one-row audit matches DuckDB."""
+
+import duckdb
+import pytest
+
+from macrobase_spark.operators.scorecard import (
+    classify_scorecard,
+    generate_qa_clips,
+    scorecard_features,
+)
+from macrobase_spark.queries import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _expected_defect(i: int) -> str:
+    if i % 31 == 8:
+        return "flag_silent"
+    if i % 13 == 2:
+        return "flag_hum"
+    if i % 11 == 5:
+        return "flag_upsampled"
+    if i % 19 == 7:
+        return "flag_clipped"
+    if i % 23 == 9:
+        return "flag_quiet"
+    return "clean"
+
+
+def test_planted_defects_fire_their_flags(spark):
+    n = 300
+    rows = classify_scorecard(
+        scorecard_features(generate_qa_clips(spark, n))
+    ).collect()
+    assert len(rows) == n
+    for r in rows:
+        i = int(r["clip_id"].split("_")[1])
+        want = _expected_defect(i)
+        if want == "clean":
+            assert r["qa_pass"], (i, r)
+        else:
+            assert r[want], (i, want, r)
+            assert not r["qa_pass"], (i, r)
+
+
+def test_one_decode_per_clip_schema(spark):
+    feats = scorecard_features(generate_qa_clips(spark, 40))
+    got = feats.collect()
+    assert len(got) == 40
+    # every decodable clip fills every feature column
+    for r in got:
+        if r["decode_ok"] and r["silence_ratio"] < 0.99:
+            assert r["rms_dbfs"] is not None
+            assert r["bandwidth_ratio"] is not None
+            assert r["voiced_ratio"] is not None
+
+
+def test_registered_query_matches_oracle(spark):
+    got = QUERIES["clips_qa_scorecard"](spark, SF).collect()
+    want = duckdb.sql(ORACLES["clips_qa_scorecard"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert tuple(g)[:-1] == w[:-1]
+    assert g["avg_rms_dbfs"] == pytest.approx(w[-1], abs=1e-2)
+    assert g["n_pass"] > 0 and g["n_pass"] < g["n"]
