@@ -134,6 +134,7 @@ EXTRA = [
     "knn_graph_embeddings",
     "pii_scan_documents",
     "clips_qa_scorecard",
+    "weighted_sample_documents",
 ]
 
 

@@ -172,3 +172,84 @@ def stratified_sample_documents(spark, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Importance sampling: keep row i with probability
+    min(1, rate * w_i * N / Σw) — expected kept fraction ≈ `rate`, mass
+    skewed toward heavy rows (quality scores, lengths). Two tiny
+    aggregates (N, Σw) become broadcast literals; the keep decision is
+    the same deterministic unit hash, so the sample is reproducible and
+    engine-auditable like the uniform one. Rows where the min(...) clamp
+    binds are ALWAYS kept (their weight saturates the budget)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(weight_col).alias("sw")
+    ).collect()[0]
+    n, sw = int(row["n"]), float(row["sw"])
+    if sw <= 0:
+        raise ValueError(f"weights in {weight_col!r} must sum to > 0")
+    scale = rate * n / sw
+    u = unit_hash(F.col(key), salt)
+    return df.where(u < F.least(F.lit(1.0), F.col(weight_col) * F.lit(scale)))
+
+
+_WS = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0"
+
+
+@register(
+    "weighted_sample_documents",
+    f"""
+    WITH stats AS (
+      SELECT count(*) AS n, CAST(sum(n_chars) AS DOUBLE) AS sw FROM {_DOC}
+    ), kept AS (
+      SELECT d.lang, d.n_chars FROM {_DOC} d, stats s
+      WHERE {_WS} < least(1.0, d.n_chars * (0.2 * s.n / s.sw))
+    ), tot AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS total,
+             round(avg(n_chars), 2) AS avg_chars_all
+      FROM {_DOC} GROUP BY lang
+    )
+    SELECT t.lang, t.total,
+           CAST(coalesce(k.n, 0) AS BIGINT) AS sampled,
+           round(coalesce(k.n, 0) / CAST(t.total AS DOUBLE), 4) AS realized_rate,
+           t.avg_chars_all,
+           round(k.avg_chars_kept, 2) AS avg_chars_kept
+    FROM tot t LEFT JOIN (
+      SELECT lang, count(*) AS n, avg(n_chars) AS avg_chars_kept
+      FROM kept GROUP BY lang
+    ) k ON k.lang = t.lang
+    """,
+)
+def weighted_sample_documents(spark, sf_dir: str) -> DataFrame:
+    """Length-weighted 20% sample of the documents table: kept docs skew
+    long (avg_chars_kept > avg_chars_all), realized rates hover near 0.2
+    per stratum. Every keep decision replays row-for-row in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = weighted_sample(docs, "doc_id", "n_chars", rate=0.2)
+    tot = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars_all"),
+    )
+    kn = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("n_chars").alias("avg_chars_kept")
+    )
+    return (
+        tot.join(kn, "lang", "left")
+        .na.fill({"n": 0})
+        .select(
+            "lang",
+            "total",
+            F.col("n").cast("long").alias("sampled"),
+            F.round(F.col("n") / F.col("total").cast("double"), 4).alias(
+                "realized_rate"
+            ),
+            "avg_chars_all",
+            F.round("avg_chars_kept", 2).alias("avg_chars_kept"),
+        )
+    )

@@ -90,3 +90,28 @@ def test_registered_queries_match_oracle(spark, name):
                 assert gv == pytest.approx(wv, abs=1e-9)
             else:
                 assert gv == wv
+
+
+def test_weighted_sample_skews_heavy(spark):
+    from macrobase_spark.functions.sampling import weighted_sample
+
+    df = spark.range(0, 4000).withColumn(
+        "w", (F.col("id") % 10 + 1).cast("double")
+    )
+    kept = weighted_sample(df, "id", "w", rate=0.2).collect()
+    frac = len(kept) / 4000
+    assert abs(frac - 0.2) < 0.04
+    avg_kept = sum(r["w"] for r in kept) / len(kept)
+    assert avg_kept > 6.0  # population mean is 5.5 — kept mass skews heavy
+
+
+def test_weighted_sample_registered_matches_oracle(spark):
+    got = sorted(tuple(r) for r in QUERIES["weighted_sample_documents"](spark, SF).collect())
+    want = sorted(duckdb.sql(ORACLES["weighted_sample_documents"]).fetchall())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float):
+                assert gv == pytest.approx(wv, abs=1e-6)
+            else:
+                assert gv == wv
