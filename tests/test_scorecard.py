@@ -64,3 +64,36 @@ def test_registered_query_matches_oracle(spark):
     assert tuple(g)[:-1] == w[:-1]
     assert g["avg_rms_dbfs"] == pytest.approx(w[-1], abs=1e-2)
     assert g["n_pass"] > 0 and g["n_pass"] < g["n"]
+
+
+def test_scorecard_stream_matches_batch(spark, tmp_path):
+    """The fused scan is a stateless mapInArrow, so it runs UNCHANGED on a
+    streaming DataFrame (the validate.py design) — stream output must equal
+    the batch relation row-for-row."""
+    src = str(tmp_path / "qa_src")
+    clips = generate_qa_clips(spark, 120)
+    clips.write.mode("overwrite").parquet(src)
+    batch = {
+        r["clip_id"]: tuple(r)
+        for r in classify_scorecard(
+            scorecard_features(spark.read.parquet(src))
+        ).collect()
+    }
+    stream = spark.readStream.schema("clip_id string, bytes binary").parquet(src)
+    q = (
+        classify_scorecard(scorecard_features(stream))
+        .writeStream.format("memory")
+        .queryName("qa_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["clip_id"]: tuple(r) for r in spark.sql("select * from qa_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+    assert len(got) == 120
