@@ -135,6 +135,7 @@ EXTRA = [
     "pii_scan_documents",
     "clips_qa_scorecard",
     "weighted_sample_documents",
+    "ann_recall_report",
 ]
 
 
