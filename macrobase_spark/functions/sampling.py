@@ -191,15 +191,12 @@ def weighted_sample(
     row = df.agg(
         F.count(F.lit(1)).alias("n"), F.sum(weight_col).alias("sw")
     ).collect()[0]
-    n, sw = int(row["n"]), float(row["sw"])
+    n, sw = int(row["n"]), float(row["sw"] or 0.0)
     if sw <= 0:
         raise ValueError(f"weights in {weight_col!r} must sum to > 0")
     scale = rate * n / sw
     u = unit_hash(F.col(key), salt)
     return df.where(u < F.least(F.lit(1.0), F.col(weight_col) * F.lit(scale)))
-
-
-_WS = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0"
 
 
 @register(
@@ -209,7 +206,7 @@ _WS = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 
       SELECT count(*) AS n, CAST(sum(n_chars) AS DOUBLE) AS sw FROM {_DOC}
     ), kept AS (
       SELECT d.lang, d.n_chars FROM {_DOC} d, stats s
-      WHERE {_WS} < least(1.0, d.n_chars * (0.2 * s.n / s.sw))
+      WHERE {_U} < least(1.0, d.n_chars * (0.2 * s.n / s.sw))
     ), tot AS (
       SELECT lang, CAST(count(*) AS BIGINT) AS total,
              round(avg(n_chars), 2) AS avg_chars_all

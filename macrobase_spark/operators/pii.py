@@ -10,9 +10,11 @@ lookaround, NO backreferences. That restriction is what makes the scan
 engine-portable, and the DuckDB oracle replays every count and every
 redaction verbatim.
 
-`pii_counts` appends per-doc match counts; `pii_redact` rewrites the
-text with typed placeholders (<EMAIL>/<PHONE>/<IP>), applied
-email→ip→phone so the phone pattern cannot eat the dotted quads first.
+`pii_counts` appends per-doc match counts, each pattern counted on the
+text with earlier patterns already redacted so the counts certify
+exactly what `pii_redact` rewrites; `pii_redact` applies typed
+placeholders (<EMAIL>/<IP>/<PHONE>) with email first, because phone/ip
+patterns can match inside an email's local part.
 
 Reference parity: none — the reference engine predates corpus-hygiene
 tooling; this extends the build brief's text-analysis contract next to
@@ -45,20 +47,36 @@ def _count(col: Column, pattern: str) -> Column:
 
 
 def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append n_email / n_phone / n_ip match counts per document."""
+    """Append n_email / n_phone / n_ip match counts per document.
+
+    Counts are REDACTION-CONSISTENT: each pattern counts on the text with
+    the earlier patterns already redacted (email, then ip, then phone —
+    the same order pii_redact applies), so n_phone certifies exactly the
+    <PHONE> rewrites redaction would perform. Counting every pattern on
+    the raw text instead would double-count overlaps: in
+    '123-555-0042@example.com' the phone pattern matches inside the
+    email's local part, but redaction (email first) emits one <EMAIL>
+    and no <PHONE>."""
     t = F.col(text_col)
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
     return df.withColumns(
         {
             "n_email": _count(t, EMAIL_RE),
-            "n_phone": _count(t, PHONE_RE),
-            "n_ip": _count(t, IPV4_RE),
+            "n_ip": _count(after_email, IPV4_RE),
+            "n_phone": _count(after_ip, PHONE_RE),
         }
     )
 
 
 def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
-    """Typed-placeholder redaction, email→ip→phone (ip before phone so the
-    digit-run pattern never consumes a dotted quad)."""
+    """Typed-placeholder redaction in email→ip→phone order. Email first
+    matters: both the phone and ip patterns can match inside an email's
+    local part ('123-555-0042@x.com', '10.0.0.1@x.com'), and redacting
+    the email first yields the single <EMAIL> a reader expects. The
+    ip-vs-phone order is inert (the phone pattern admits only '-'/' '
+    separators and can never overlap a dotted quad) — kept fixed so the
+    counts above stay aligned with the rewrites."""
     t = F.col(text_col)
     red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     red = F.regexp_replace(red, IPV4_RE, "<IP>")
@@ -131,16 +149,21 @@ _PD = "read_parquet('/tmp/mb_pii_docs_v1_1000.parquet/*.parquet')"
 @register(
     "pii_scan_documents",
     f"""
-    WITH counted AS (
+    WITH staged AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS after_email
+      FROM {_PD}
+    ), counted AS (
       SELECT doc_id,
              len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
-             len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phone,
-             len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ip,
-             length(regexp_replace(regexp_replace(regexp_replace(text,
-                 '{EMAIL_RE}', '<EMAIL>', 'g'),
+             len(regexp_extract_all(after_email, '{IPV4_RE}')) AS n_ip,
+             len(regexp_extract_all(
+                 regexp_replace(after_email, '{IPV4_RE}', '<IP>', 'g'),
+                 '{PHONE_RE}')) AS n_phone,
+             length(regexp_replace(regexp_replace(after_email,
                  '{IPV4_RE}', '<IP>', 'g'),
                  '{PHONE_RE}', '<PHONE>', 'g')) AS red_len
-      FROM {_PD}
+      FROM staged
     ), classed AS (
       SELECT *, {_CLASS_EXPR} AS pii_class FROM counted
     )

@@ -139,15 +139,20 @@ def scorecard_features(df: DataFrame) -> DataFrame:
 # shared flag layer — identical text in the oracle
 _FLAGS = {
     "flag_undecodable": "NOT decode_ok",
-    "flag_silent": "decode_ok AND silence_ratio >= 0.99",
-    "flag_dead_air": "decode_ok AND silence_ratio < 0.99 AND longest_silence_ms >= 100.0",
-    "flag_clipped": "decode_ok AND clip_ratio >= 0.01",
+    # every condition is coalesce(..., FALSE): a decodable clip too short
+    # for an analysis frame has NULL spectral/voicing features, and
+    # three-valued logic would otherwise make its flags AND qa_pass NULL —
+    # vanishing from every rollup bucket. flag_short owns that case.
+    "flag_short": "coalesce(decode_ok AND silence_ratio < 0.99 AND bandwidth_ratio IS NULL, FALSE)",
+    "flag_silent": "coalesce(decode_ok AND silence_ratio >= 0.99, FALSE)",
+    "flag_dead_air": "coalesce(decode_ok AND silence_ratio < 0.99 AND longest_silence_ms >= 100.0, FALSE)",
+    "flag_clipped": "coalesce(decode_ok AND clip_ratio >= 0.01, FALSE)",
     # -35 dBFS: low enough to catch under-leveled takes, high enough that
     # the clip is still above the 0.01 (-40 dBFS) silence threshold — a
     # quieter tone would read as digital silence, not as "quiet"
-    "flag_quiet": "decode_ok AND silence_ratio < 0.99 AND rms_dbfs <= -35.0",
-    "flag_upsampled": "decode_ok AND silence_ratio < 0.99 AND bandwidth_ratio <= 0.25",
-    "flag_hum": "decode_ok AND hum_db >= -15.0",
+    "flag_quiet": "coalesce(decode_ok AND silence_ratio < 0.99 AND rms_dbfs <= -35.0, FALSE)",
+    "flag_upsampled": "coalesce(decode_ok AND silence_ratio < 0.99 AND bandwidth_ratio <= 0.25, FALSE)",
+    "flag_hum": "coalesce(decode_ok AND hum_db >= -15.0, FALSE)",
 }
 _PASS = " AND NOT ".join(["decode_ok"] + [f"({c})" for c in list(_FLAGS.values())[1:]])
 
@@ -165,7 +170,8 @@ def classify_scorecard(feats: DataFrame) -> DataFrame:
 def generate_qa_clips(spark, n: int) -> DataFrame:
     """48 kHz 0.8 s clips, one planted defect per residue class:
     silence (%31==8), hum (%13==2), upsampled (%11==5), clipped (%19==7),
-    quiet -50 dBFS (%23==9), else clean voiced."""
+    quiet -38 dBFS (%23==9), mid-clip 150 ms dead air (%29==11),
+    else clean voiced wideband."""
     import pandas as pd
 
     from macrobase_spark.operators.audio import sin_samples, u01, wav_bytes
@@ -212,6 +218,10 @@ def generate_qa_clips(spark, n: int) -> DataFrame:
                     sig = np.clip(3.0 * wideband(ns, i % 7), -1.0, 1.0)
                 elif i % 23 == 9:
                     sig = wideband(ns, i % 7, rms=0.0126)  # ~-38 dBFS
+                elif i % 29 == 11:
+                    sig = wideband(ns, i % 7)
+                    at = int(ns * 0.4)
+                    sig[at : at + int(sr * 0.150)] = 0.0  # mid-clip dead air
                 else:
                     sig = wideband(ns, i % 7)
                 pcm = np.clip(sig * 32767, -32768, 32767).astype(np.int16)

@@ -814,52 +814,50 @@ def knn_graph_embeddings(spark, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _register_recall_report() -> None:
-    from macrobase_spark.queries import ORACLES
+from macrobase_spark.queries import ORACLES as _ORACLES
 
-    oracle = f"""
-    WITH exact AS ({ORACLES["ann_brute_force_topk"]}),
-         approx AS ({ORACLES["ann_ivf_topk"]})
-    SELECT e.query_id,
-           CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(sum(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_matched,
-           round(sum(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 4) AS recall_at_5
-    FROM exact e LEFT JOIN approx a
-      ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
-    GROUP BY e.query_id
-    """
+_RECALL_ORACLE = f"""
+WITH exact AS ({_ORACLES["ann_brute_force_topk"]}),
+     approx AS ({_ORACLES["ann_ivf_topk"]})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       round(sum(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS recall_at_5
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+GROUP BY e.query_id
+"""
 
-    @register("ann_recall_report", oracle)
-    def ann_recall_report(spark, sf_dir: str) -> DataFrame:
-        """Recall@5 of the IVF path against the exact brute-force top-k —
-        the quality audit every approximate index needs, composed from the
-        two ALREADY-certified queries so both engines measure the same
-        candidates against the same ground truth."""
-        from macrobase_spark.queries import QUERIES
 
-        exact = QUERIES["ann_brute_force_topk"](spark, sf_dir).select(
-            "query_id", "nbr_id"
+@register("ann_recall_report", _RECALL_ORACLE)
+def ann_recall_report(spark, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF path against the exact brute-force top-k —
+    the quality audit every approximate index needs, composed from the
+    two ALREADY-certified queries so both engines measure the same
+    candidates against the same ground truth."""
+    from macrobase_spark.queries import QUERIES
+
+    exact = QUERIES["ann_brute_force_topk"](spark, sf_dir).select(
+        "query_id", "nbr_id"
+    )
+    approx = (
+        QUERIES["ann_ivf_topk"](spark, sf_dir)
+        .select("query_id", "nbr_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "nbr_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_matched"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("recall_at_5"),
         )
-        approx = (
-            QUERIES["ann_ivf_topk"](spark, sf_dir)
-            .select("query_id", "nbr_id")
-            .withColumn("hit", F.lit(1))
-        )
-        return (
-            exact.join(F.broadcast(approx), ["query_id", "nbr_id"], "left")
-            .groupBy("query_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_exact"),
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_matched"),
-                F.round(
-                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                    / F.count(F.lit(1)).cast("double"),
-                    4,
-                ).alias("recall_at_5"),
-            )
-        )
+    )
 
-
-_register_recall_report()

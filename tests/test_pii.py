@@ -73,3 +73,16 @@ def test_registered_query_matches_oracle(spark):
     want = sorted(duckdb.sql(ORACLES["pii_scan_documents"]).fetchall())
     assert got == want
     assert len(got) == 3
+
+
+def test_counts_are_redaction_consistent(spark):
+    """A phone-shaped local part inside an email must count as ONE email
+    and ZERO phones — exactly what redaction rewrites."""
+    df = spark.createDataFrame(
+        [(0, "reach me at 123-555-0042@example.com thanks")],
+        "doc_id long, text string",
+    )
+    r = pii_counts(df).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_ip"]) == (1, 0, 0)
+    red = pii_redact(df).collect()[0]["redacted"]
+    assert red == "reach me at <EMAIL> thanks"

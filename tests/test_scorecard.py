@@ -25,6 +25,8 @@ def _expected_defect(i: int) -> str:
         return "flag_clipped"
     if i % 23 == 9:
         return "flag_quiet"
+    if i % 29 == 11:
+        return "flag_dead_air"
     return "clean"
 
 
@@ -97,3 +99,20 @@ def test_scorecard_stream_matches_batch(spark, tmp_path):
         q.stop()
     assert got == batch
     assert len(got) == 120
+
+
+def test_short_clip_flags_short_not_null(spark):
+    """A decodable clip under one analysis frame must land in flag_short
+    with a definite (non-NULL) qa_pass=false — not vanish via 3VL."""
+    import numpy as np
+
+    from macrobase_spark.operators.audio import wav_bytes
+
+    pcm = (0.3 * np.sin(np.arange(1440) * 0.1) * 32767).astype(np.int16)
+    df = spark.createDataFrame(
+        [("short_0", wav_bytes(pcm, 48000))], "clip_id string, bytes binary"
+    )
+    r = classify_scorecard(scorecard_features(df)).collect()[0]
+    assert r["decode_ok"]
+    assert r["flag_short"] is True
+    assert r["qa_pass"] is False
