@@ -160,12 +160,18 @@ def ecod_scores_approx(
         "v", F.col("v").cast("double")
     )
     ps = [k / n_bins for k in range(1, n_bins)]
-    edges = x.groupBy("dim").agg(F.explode(F.percentile("v", ps)).alias("edge"))
+    grid = x.groupBy("dim").agg(F.percentile("v", ps).alias("edges"))
     sk = _left_skewed(x)
-    binned = (
-        x.join(F.broadcast(edges), "dim")
-        .groupBy(*id_cols, "dim")
-        .agg(F.sum((F.col("v") > F.col("edge")).cast("int")).alias("idx"))
+    # Grid index = #edges below v, folded over the broadcast per-dim edge
+    # ARRAY in one codegen expression — map-only, no (n_bins-1)× row
+    # blow-up and no (vec, dim) Exchange (the former explode+join+
+    # re-aggregate shape scanned n_bins-1 rows per value).
+    binned = x.join(F.broadcast(grid), "dim").select(
+        *id_cols,
+        "dim",
+        F.aggregate(
+            "edges", F.lit(0), lambda a, e: a + (F.col("v") > e).cast("int")
+        ).alias("idx"),
     )
     p_l = (F.col("idx") + 0.5) / F.lit(float(n_bins))
     p_r = (F.lit(float(n_bins)) - F.col("idx") - 0.5) / F.lit(float(n_bins))

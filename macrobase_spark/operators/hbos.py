@@ -20,11 +20,13 @@ bounds as an 11-point grid exploded to a 64×10 relation, bin assignment
 as a count of interior edges below the value, masses/densities as tiny
 aggregates. No UDF, no model, no driver-side fit.
 
-Plan: posexplode → one (vec, dim) Exchange for bin assignment (the
-9-edge relation broadcasts) → 640-row density relation broadcast back →
-one vec_id Exchange → TakeOrdered 20. At 10^12 rows swap the exact
-percentile for approx_percentile (same plan shape); histogram size
-scales with dims×bins, never rows.
+Plan: posexplode → per-dim (min, max, deciles) aggregate (one tiny dim
+Exchange) → bin assignment as an `aggregate()` fold over the BROADCAST
+per-dim edge array (map-only: no row blow-up and no (vec, dim)
+Exchange) → 640-row density relation broadcast back → one vec_id
+Exchange → TakeOrdered 20. At 10^12 rows swap the exact percentile for
+approx_percentile (same plan shape); histogram size scales with
+dims×bins, never rows.
 """
 
 from __future__ import annotations
@@ -62,11 +64,16 @@ def hbos_scores(
             F.expr("transform(slice(bd, 1, size(bd) - 1), (lo, i) -> element_at(bd, i + 2) - lo)")
         ).alias("bin", "width"),
     )
-    edges = agg.select("dim", F.explode("qs").alias("edge"))
-    binned = (
-        x.join(F.broadcast(edges), "dim")
-        .groupBy(*id_cols, "dim")
-        .agg(F.sum((F.col("v") > F.col("edge")).cast("int")).alias("bin"))
+    # Bin index = #interior edges below v, folded over the per-dim edge
+    # ARRAY in one codegen expression (no 9× row blow-up, no (vec, dim)
+    # Exchange — the old explode-edges+join+re-aggregate shape ran a 10×
+    # wider scan and, being consumed twice below, executed it twice).
+    binned = x.join(F.broadcast(agg.select("dim", "qs")), "dim").select(
+        *id_cols,
+        "dim",
+        F.aggregate(
+            "qs", F.lit(0), lambda a, e: a + (F.col("v") > e).cast("int")
+        ).alias("bin"),
     )
     n = df.count()
     dens = (

@@ -236,15 +236,20 @@ def benchmark_contamination(
     join; the per-doc overlap count partial-aggregates map-side (shingles
     of one doc stay in one scan partition). Nothing shuffles the corpus at
     100 TB except the final (doc_id)-grain count."""
+    # project the words array ONCE per row before shingling — the n-gram
+    # expression references its words operand ~n+2 times (each transform
+    # part + the size guards), and inlining `split()` there re-tokenizes
+    # the document per reference
     bench_sh = (
-        benchmark.select(
-            F.explode(word_ngrams_expr(f"split({text_col}, ' ')", n)).alias("sh")
-        )
+        benchmark.select(F.split(F.col(text_col), " ").alias("__ws"))
+        .select(F.explode(word_ngrams_expr("__ws", n)).alias("sh"))
         .distinct()
     )
     corp_sh = corpus.select(
+        id_col, F.split(F.col(text_col), " ").alias("__ws")
+    ).select(
         id_col,
-        F.explode(word_ngrams_expr(f"split({text_col}, ' ')", n)).alias("sh"),
+        F.explode(word_ngrams_expr("__ws", n)).alias("sh"),
     )
     return (
         corp_sh.join(F.broadcast(bench_sh), "sh")
