@@ -126,6 +126,7 @@ EXTRA = [
     "clips_bandwidth_stats",
     "clips_pitch_stats",
     "ecod_outliers_embeddings",
+    "copod_outliers_embeddings",
     "pca_variance_embeddings",
     "split_balance_documents",
     "stratified_sample_documents",
@@ -294,6 +295,7 @@ def main() -> int:
     import macrobase_spark.operators.bandwidth  # noqa: F401
     import macrobase_spark.operators.pitch  # noqa: F401
     import macrobase_spark.operators.ecod  # noqa: F401
+    import macrobase_spark.operators.copod  # noqa: F401
     import macrobase_spark.operators.pca  # noqa: F401
     import macrobase_spark.operators.hbos  # noqa: F401
     import macrobase_spark.operators.components  # noqa: F401
