@@ -65,6 +65,58 @@ def test_differs_from_ecod_on_opposite_tails(spark):
     assert c[300] == pytest.approx(1.5 * u, abs=1e-9)
 
 
+def test_matches_numpy_reference(spark):
+    """Independent per-value numpy reimplementation (tie-aware ECDFs,
+    third-central-moment skew sign, per-dim max) must agree exactly."""
+    rng = np.random.default_rng(5)
+    X = np.concatenate(
+        [rng.normal(0, 1, size=(60, 3)), rng.exponential(1.0, size=(20, 3))]
+    )
+    X[7, 1] = X[3, 1]  # plant exact ties so the tie convention is exercised
+    X[19, 2] = X[2, 2]
+    n, d = X.shape
+    want = np.zeros(n)
+    for j in range(d):
+        v = X[:, j]
+        p_l = np.array([(v <= x).sum() for x in v]) / n
+        p_r = np.array([(v >= x).sum() for x in v]) / n
+        u_l, u_r = -np.log(p_l), -np.log(p_r)
+        u_skew = u_l if ((v - v.mean()) ** 3).sum() < 0 else u_r
+        want += np.maximum(u_skew, (u_l + u_r) / 2.0)
+    rows = [(i, [float(x) for x in r]) for i, r in enumerate(X)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["_SCORE"] for r in copod_scores(df).collect()}
+    for i in range(n):
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+
+
+def test_scores_invariant_under_monotone_transform(spark):
+    """COPOD is rank-based like ECOD: strictly increasing per-dim
+    transforms that preserve the skew sign leave every score exactly
+    unchanged."""
+    rng = np.random.default_rng(13)
+    X = rng.gamma(2.0, size=(120, 4))
+    for j in range(4):
+        for Y in (X[:, j], X[:, j] ** 3):
+            assert np.sum((Y - Y.mean()) ** 3) > 0
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(X)]
+    base = {
+        r["vec_id"]: r["_SCORE"]
+        for r in copod_scores(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        ).collect()
+    }
+    rows_t = [(i, [float(v) ** 3 for v in r]) for i, r in enumerate(X)]
+    trans = {
+        r["vec_id"]: r["_SCORE"]
+        for r in copod_scores(
+            spark.createDataFrame(rows_t, "vec_id long, embedding array<double>")
+        ).collect()
+    }
+    for i in base:
+        assert trans[i] == pytest.approx(base[i], abs=1e-9)
+
+
 def test_registered_query_matches_oracle(spark):
     got = QUERIES["copod_outliers_embeddings"](spark, SF).collect()
     want = duckdb.sql(ORACLES["copod_outliers_embeddings"]).fetchall()
