@@ -42,6 +42,7 @@ import macrobase_spark.operators.bandwidth  # noqa: E402,F401
 import macrobase_spark.operators.pitch  # noqa: E402,F401
 import macrobase_spark.operators.ecod  # noqa: E402,F401
 import macrobase_spark.operators.copod  # noqa: E402,F401
+import macrobase_spark.operators.mp3  # noqa: E402,F401
 import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hbos  # noqa: E402,F401
 import macrobase_spark.operators.components  # noqa: E402,F401

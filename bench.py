@@ -137,6 +137,8 @@ EXTRA = [
     "clips_qa_scorecard",
     "weighted_sample_documents",
     "ann_recall_report",
+    "mp3_integrity_stats",
+    "mp3_integrity_pipeline",
 ]
 
 
@@ -221,6 +223,13 @@ def _bench_only_queries() -> dict:
 
         return _f(spark, sf_dir)
 
+    def mp3_integrity_pipeline(spark, sf_dir):
+        """Full kernel: synthesize mp3 fixture → frame-walk (header parse,
+        no decode) → verdict aggregate, in one timed plan."""
+        from macrobase_spark.operators.mp3 import mp3_integrity_pipeline as _m
+
+        return _m(spark, sf_dir)
+
     def clips_resample_stats(spark, sf_dir):
         """Full kernel: decode → 16 kHz linear-interp resample → SNR vs the
         reference render at the new rate → per-rate stats."""
@@ -248,6 +257,7 @@ def _bench_only_queries() -> dict:
         "jpeg_feature_stats": jpeg_feature_stats_pipeline,
         "webp_feature_stats": webp_feature_stats_pipeline,
         "codec_snr_stats": _codec_snr,
+        "mp3_integrity_pipeline": mp3_integrity_pipeline,
     }
 
 
@@ -296,6 +306,7 @@ def main() -> int:
     import macrobase_spark.operators.pitch  # noqa: F401
     import macrobase_spark.operators.ecod  # noqa: F401
     import macrobase_spark.operators.copod  # noqa: F401
+    import macrobase_spark.operators.mp3  # noqa: F401
     import macrobase_spark.operators.pca  # noqa: F401
     import macrobase_spark.operators.hbos  # noqa: F401
     import macrobase_spark.operators.components  # noqa: F401
