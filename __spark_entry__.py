@@ -43,6 +43,7 @@ import macrobase_spark.operators.pitch  # noqa: E402,F401
 import macrobase_spark.operators.ecod  # noqa: E402,F401
 import macrobase_spark.operators.copod  # noqa: E402,F401
 import macrobase_spark.operators.mp3  # noqa: E402,F401
+import macrobase_spark.operators.aac  # noqa: E402,F401
 import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hbos  # noqa: E402,F401
 import macrobase_spark.operators.components  # noqa: E402,F401
@@ -139,6 +140,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.pq import pq_artifacts_parquet
     from macrobase_spark.operators.silence import silence_features_parquet
     from macrobase_spark.operators.sniff import codec_clips_parquet
+    from macrobase_spark.operators.mp3 import mp3_profiles_parquet
+    from macrobase_spark.operators.aac import adts_profiles_parquet
     from macrobase_spark.sources.icetable import ice_table_fixture
 
     for mat in (
@@ -185,6 +188,8 @@ def entry(spark: SparkSession) -> DataFrame:
         pq_artifacts_parquet,
         silence_features_parquet,
         codec_clips_parquet,
+        mp3_profiles_parquet,
+        adts_profiles_parquet,
         ice_table_fixture,
     ):
         try:

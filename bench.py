@@ -139,6 +139,8 @@ EXTRA = [
     "ann_recall_report",
     "mp3_integrity_stats",
     "mp3_integrity_pipeline",
+    "aac_integrity_stats",
+    "aac_integrity_pipeline",
 ]
 
 
@@ -230,6 +232,13 @@ def _bench_only_queries() -> dict:
 
         return _m(spark, sf_dir)
 
+    def aac_integrity_pipeline(spark, sf_dir):
+        """Full kernel: synthesize ADTS fixture -> frame-walk -> verdict
+        aggregate, in one timed plan."""
+        from macrobase_spark.operators.aac import aac_integrity_pipeline as _a
+
+        return _a(spark, sf_dir)
+
     def clips_resample_stats(spark, sf_dir):
         """Full kernel: decode → 16 kHz linear-interp resample → SNR vs the
         reference render at the new rate → per-rate stats."""
@@ -258,6 +267,7 @@ def _bench_only_queries() -> dict:
         "webp_feature_stats": webp_feature_stats_pipeline,
         "codec_snr_stats": _codec_snr,
         "mp3_integrity_pipeline": mp3_integrity_pipeline,
+        "aac_integrity_pipeline": aac_integrity_pipeline,
     }
 
 
@@ -307,6 +317,7 @@ def main() -> int:
     import macrobase_spark.operators.ecod  # noqa: F401
     import macrobase_spark.operators.copod  # noqa: F401
     import macrobase_spark.operators.mp3  # noqa: F401
+    import macrobase_spark.operators.aac  # noqa: F401
     import macrobase_spark.operators.pca  # noqa: F401
     import macrobase_spark.operators.hbos  # noqa: F401
     import macrobase_spark.operators.components  # noqa: F401
