@@ -44,6 +44,7 @@ import macrobase_spark.operators.ecod  # noqa: E402,F401
 import macrobase_spark.operators.copod  # noqa: E402,F401
 import macrobase_spark.operators.mp3  # noqa: E402,F401
 import macrobase_spark.operators.aac  # noqa: E402,F401
+import macrobase_spark.operators.ogg  # noqa: E402,F401
 import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hbos  # noqa: E402,F401
 import macrobase_spark.operators.components  # noqa: E402,F401
@@ -142,6 +143,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.sniff import codec_clips_parquet
     from macrobase_spark.operators.mp3 import mp3_profiles_parquet
     from macrobase_spark.operators.aac import adts_profiles_parquet
+    from macrobase_spark.operators.ogg import ogg_profiles_parquet
     from macrobase_spark.sources.icetable import ice_table_fixture
 
     for mat in (
@@ -190,6 +192,7 @@ def entry(spark: SparkSession) -> DataFrame:
         codec_clips_parquet,
         mp3_profiles_parquet,
         adts_profiles_parquet,
+        ogg_profiles_parquet,
         ice_table_fixture,
     ):
         try:

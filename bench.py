@@ -141,6 +141,8 @@ EXTRA = [
     "mp3_integrity_pipeline",
     "aac_integrity_stats",
     "aac_integrity_pipeline",
+    "opus_integrity_stats",
+    "opus_integrity_pipeline",
 ]
 
 
@@ -239,6 +241,13 @@ def _bench_only_queries() -> dict:
 
         return _a(spark, sf_dir)
 
+    def opus_integrity_pipeline(spark, sf_dir):
+        """Full kernel: synthesize Ogg/Opus fixture -> page-walk + CRC ->
+        verdict aggregate, in one timed plan."""
+        from macrobase_spark.operators.ogg import opus_integrity_pipeline as _o
+
+        return _o(spark, sf_dir)
+
     def clips_resample_stats(spark, sf_dir):
         """Full kernel: decode → 16 kHz linear-interp resample → SNR vs the
         reference render at the new rate → per-rate stats."""
@@ -268,6 +277,7 @@ def _bench_only_queries() -> dict:
         "codec_snr_stats": _codec_snr,
         "mp3_integrity_pipeline": mp3_integrity_pipeline,
         "aac_integrity_pipeline": aac_integrity_pipeline,
+        "opus_integrity_pipeline": opus_integrity_pipeline,
     }
 
 
@@ -318,6 +328,7 @@ def main() -> int:
     import macrobase_spark.operators.copod  # noqa: F401
     import macrobase_spark.operators.mp3  # noqa: F401
     import macrobase_spark.operators.aac  # noqa: F401
+    import macrobase_spark.operators.ogg  # noqa: F401
     import macrobase_spark.operators.pca  # noqa: F401
     import macrobase_spark.operators.hbos  # noqa: F401
     import macrobase_spark.operators.components  # noqa: F401
