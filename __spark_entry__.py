@@ -45,6 +45,7 @@ import macrobase_spark.operators.copod  # noqa: E402,F401
 import macrobase_spark.operators.mp3  # noqa: E402,F401
 import macrobase_spark.operators.aac  # noqa: E402,F401
 import macrobase_spark.operators.ogg  # noqa: E402,F401
+import macrobase_spark.operators.gate  # noqa: E402,F401
 import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hbos  # noqa: E402,F401
 import macrobase_spark.operators.components  # noqa: E402,F401
@@ -144,6 +145,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.mp3 import mp3_profiles_parquet
     from macrobase_spark.operators.aac import adts_profiles_parquet
     from macrobase_spark.operators.ogg import ogg_profiles_parquet
+    from macrobase_spark.operators.gate import gate_parquet
     from macrobase_spark.sources.icetable import ice_table_fixture
 
     for mat in (
@@ -193,6 +195,7 @@ def entry(spark: SparkSession) -> DataFrame:
         mp3_profiles_parquet,
         adts_profiles_parquet,
         ogg_profiles_parquet,
+        gate_parquet,
         ice_table_fixture,
     ):
         try:

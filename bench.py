@@ -143,6 +143,8 @@ EXTRA = [
     "aac_integrity_pipeline",
     "opus_integrity_stats",
     "opus_integrity_pipeline",
+    "transport_gate_stats",
+    "transport_gate_pipeline",
 ]
 
 
@@ -248,6 +250,13 @@ def _bench_only_queries() -> dict:
 
         return _o(spark, sf_dir)
 
+    def transport_gate_pipeline(spark, sf_dir):
+        """Full kernel: synthesize mixed-format corpus -> sniff + route +
+        walk -> rollup, in one timed plan."""
+        from macrobase_spark.operators.gate import transport_gate_pipeline as _g
+
+        return _g(spark, sf_dir)
+
     def clips_resample_stats(spark, sf_dir):
         """Full kernel: decode → 16 kHz linear-interp resample → SNR vs the
         reference render at the new rate → per-rate stats."""
@@ -278,6 +287,7 @@ def _bench_only_queries() -> dict:
         "mp3_integrity_pipeline": mp3_integrity_pipeline,
         "aac_integrity_pipeline": aac_integrity_pipeline,
         "opus_integrity_pipeline": opus_integrity_pipeline,
+        "transport_gate_pipeline": transport_gate_pipeline,
     }
 
 
@@ -329,6 +339,7 @@ def main() -> int:
     import macrobase_spark.operators.mp3  # noqa: F401
     import macrobase_spark.operators.aac  # noqa: F401
     import macrobase_spark.operators.ogg  # noqa: F401
+    import macrobase_spark.operators.gate  # noqa: F401
     import macrobase_spark.operators.pca  # noqa: F401
     import macrobase_spark.operators.hbos  # noqa: F401
     import macrobase_spark.operators.components  # noqa: F401

@@ -1,0 +1,228 @@
+"""Transport gate — the single entry-point scan of a mixed-format audio
+corpus: sniff each payload's actual container, route it to the matching
+structural validator (mp3/ADTS/Ogg walkers, RIFF/FLAC container
+checks), and verify the DECLARED codec agrees with what the bytes are.
+
+At 10^12 clips the declared `codec` column is metadata somebody wrote,
+not ground truth — the first pass a validation engine runs is exactly
+this: one map-only scan that (a) detects the real transport from the
+bytes, (b) runs the cheapest structural check that transport supports,
+and (c) flags label/payload disagreement before any decode cycles are
+spent. The per-format deep checks (decode+SNR for WAV/FLAC, the
+frame/page walks for mp3/ADTS/Ogg) each exist as their own operators;
+the gate is the router in front of them.
+
+Spark-first shape: ONE mapInPandas scan of the payload bytes emits a
+narrow (clip_id, codec, format_detected, verdict, label_ok) relation;
+the stats rollup and the verdict/label CASE logic are codegen SQL
+replayed verbatim by the DuckDB oracle over the materialized gate
+relation. Detection order is magic-based, not declared-codec-based, so
+a mislabeled clip still lands in the RIGHT structural check.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from macrobase_spark.queries import register
+from macrobase_spark.operators.aac import adts_stream, walk_adts
+from macrobase_spark.operators.mp3 import mp3_stream, walk_mp3
+from macrobase_spark.operators.ogg import ogg_opus_stream, walk_ogg
+
+# declared codec -> transport family the gate expects the payload in
+EXPECTED_FORMAT = {
+    "pcm_s16le": "wav",
+    "mulaw": "wav",
+    "alaw": "wav",
+    "adpcm": "wav",
+    "flac": "flac",
+    "mp3": "mp3",
+    "aac": "adts",
+    "opus": "ogg",
+}
+
+
+def detect_format(buf: bytes | None) -> str:
+    """Magic-based transport detection (never trusts metadata)."""
+    if not buf or len(buf) < 4:
+        return "empty"
+    if buf[:4] == b"RIFF":
+        return "wav"
+    if buf[:4] == b"fLaC":
+        return "flac"
+    if buf[:4] == b"OggS":
+        return "ogg"
+    if buf[:3] == b"ID3":
+        return "mp3"  # ID3v2 tags front mp3 streams in practice
+    if buf[0] == 0xFF and (buf[1] & 0xF0) == 0xF0 and (buf[1] >> 1) & 0x3 == 0:
+        return "adts"  # 0xFFF sync with layer 00
+    if buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0:
+        return "mp3"  # 0xFFE sync with a layer field
+    return "unknown"
+
+
+def _check_wav(buf: bytes) -> str:
+    """Container-level RIFF/WAVE structure: fourcc + declared RIFF size
+    vs actual length (the deep decode+SNR check is a separate operator)."""
+    if len(buf) < 12 or buf[8:12] != b"WAVE":
+        return "corrupt_stream"
+    declared = int.from_bytes(buf[4:8], "little")
+    if declared + 8 > len(buf):
+        return "truncated"
+    return "ok"
+
+
+def _check_flac(buf: bytes) -> str:
+    """Container-level FLAC: STREAMINFO must be the first metadata block
+    (format requirement) and the header area must fit."""
+    if len(buf) < 8 or (buf[4] & 0x7F) != 0:
+        return "corrupt_stream"
+    block_len = int.from_bytes(buf[5:8], "big")
+    if 8 + block_len > len(buf):
+        return "truncated"
+    return "ok"
+
+
+def gate_clip(buf: bytes | None) -> tuple[str, str]:
+    """(format_detected, verdict) for one payload."""
+    fmt = detect_format(buf)
+    if fmt == "empty":
+        return fmt, "no_payload"
+    if fmt == "unknown":
+        return fmt, "no_sync"
+    if fmt == "wav":
+        return fmt, _check_wav(buf)
+    if fmt == "flac":
+        return fmt, _check_flac(buf)
+    if fmt == "mp3":
+        f, _ed, _sr, _bn, _bx, _id3, tr, junk = walk_mp3(buf)
+        v = "no_sync" if f == 0 else "truncated" if tr else "corrupt_stream" if junk else "ok"
+        return fmt, v
+    if fmt == "adts":
+        f, _ed, _sr, _ch, _nc, tr, junk = walk_adts(buf)
+        v = "no_sync" if f == 0 else "truncated" if tr else "corrupt_stream" if junk else "ok"
+        return fmt, v
+    # ogg
+    r = walk_ogg(buf)
+    n_pages, crc_bad, gaps, _bos, _eos, ch, _skip, _dur, tr, _junk = r
+    v = (
+        "no_sync" if n_pages == 0
+        else "truncated" if tr
+        else "corrupt_stream" if (crc_bad or gaps)
+        else "no_opus_head" if ch == 0
+        else "ok"
+    )
+    return fmt, v
+
+
+def transport_gate(df: DataFrame) -> DataFrame:
+    """ONE mapInPandas scan: sniff + route + structural check + label
+    agreement. Output is narrow; every downstream rollup is codegen."""
+
+    expected = EXPECTED_FORMAT
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cid, codec, b in zip(pdf["clip_id"], pdf["codec"], pdf["bytes"]):
+                fmt, verdict = gate_clip(bytes(b) if b is not None else None)
+                out.append(
+                    (cid, codec, fmt, verdict, expected.get(codec, "unknown") == fmt)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["clip_id", "codec", "format_detected", "verdict", "label_ok"],
+            )
+
+    return df.select("clip_id", "codec", "bytes").mapInPandas(
+        run,
+        "clip_id string, codec string, format_detected string, verdict string, label_ok boolean",
+    )
+
+
+def generate_mixed_clips(spark: SparkSession, n: int) -> DataFrame:
+    """Mixed-transport corpus: ids cycle through mp3 / ADTS / Ogg-Opus
+    streams (each generator's own defect plants ride along), with a
+    MISLABELING plant on top: id % 89 == 7 declares a codec whose bytes
+    are actually the NEXT format in the cycle — the gate must still
+    route by magic and flag label_ok=false."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        builders = [
+            ("mp3", lambda i: mp3_stream(i, 8)[0]),
+            ("aac", lambda i: adts_stream(i, 8)[0]),
+            ("opus", lambda i: ogg_opus_stream(i)[0]),
+        ]
+        for pdf in batches:
+            rows = []
+            for s in pdf["id"].to_numpy():
+                i = int(s)
+                k = i % 3
+                declared = builders[k][0]
+                build_k = (k + 1) % 3 if i % 89 == 7 else k
+                buf = builders[build_k][1](i)
+                rows.append((f"mix-{i:08d}", buf, declared))
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes", "codec"])
+
+    return spark.range(n).mapInPandas(gen, "clip_id string, bytes binary, codec string")
+
+
+def gate_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the gate relation once (kernel runs here, untimed) so
+    the DuckDB oracle reads the identical rows."""
+    from macrobase_spark.operators.audio import _codec_clips_n
+
+    n = _codec_clips_n(sf_dir)
+    path = f"/tmp/mb_gate_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        transport_gate(generate_mixed_clips(spark, n)).write.mode("overwrite").parquet(path)
+    return path
+
+
+_GP = "read_parquet('/tmp/mb_gate_v1_400.parquet/*.parquet')"
+
+
+@register(
+    "transport_gate_stats",
+    f"""
+    SELECT codec, format_detected, verdict,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN label_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_mislabeled
+    FROM {_GP}
+    GROUP BY codec, format_detected, verdict
+    ORDER BY codec, format_detected, verdict
+    """,
+)
+def transport_gate_stats_q(spark, sf_dir: str) -> DataFrame:
+    """Gate rollup over the mixed corpus: (declared codec, detected
+    transport, structural verdict) with mislabeled counts — mislabeled
+    clips appear under their DETECTED format's checks, which is the
+    point of magic-based routing. ONE partial+final hash aggregate."""
+    g = spark.read.parquet(gate_parquet(spark, sf_dir))
+    return (
+        g.groupBy("codec", "format_detected", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("label_ok"), 0).otherwise(1)).cast("long").alias("n_mislabeled"),
+        )
+        .orderBy("codec", "format_detected", "verdict")
+    )
+
+
+def transport_gate_pipeline(spark, sf_dir: str) -> DataFrame:
+    """Bench-only full kernel: synthesize mixed corpus -> sniff + route +
+    walk -> rollup, in one timed plan."""
+    from macrobase_spark.operators.audio import _codec_clips_n
+
+    g = transport_gate(generate_mixed_clips(spark, _codec_clips_n(sf_dir)))
+    return (
+        g.groupBy("format_detected", "verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("format_detected", "verdict")
+    )

@@ -1,0 +1,81 @@
+"""Transport gate: magic detection over every family, wav/flac
+container checks, mislabel routing, partition stability, and oracle
+agreement of the registered rollup."""
+
+import struct
+
+import duckdb
+import numpy as np
+import pytest
+
+from macrobase_spark.operators.aac import adts_stream
+from macrobase_spark.operators.gate import (
+    detect_format,
+    gate_clip,
+    generate_mixed_clips,
+    transport_gate,
+)
+from macrobase_spark.operators.mp3 import mp3_stream
+from macrobase_spark.operators.ogg import ogg_opus_stream
+from macrobase_spark.queries import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_detect_format_families():
+    from macrobase_spark.operators.audio import wav_bytes
+
+    wav = wav_bytes(np.zeros(64, dtype=np.int16), 16000)
+    assert detect_format(wav) == "wav"
+    assert detect_format(mp3_stream(0, 4)[0]) == "mp3"
+    assert detect_format(mp3_stream(3, 4)[0]) == "mp3"  # ID3-prefixed
+    assert detect_format(adts_stream(0, 4)[0]) == "adts"
+    assert detect_format(ogg_opus_stream(0)[0]) == "ogg"
+    assert detect_format(b"fLaC" + bytes(40)) == "flac"
+    assert detect_format(b"\x01\x02\x03\x04garbage") == "unknown"
+    assert detect_format(None) == "empty"
+    assert detect_format(b"\xff") == "empty"
+
+
+def test_wav_container_check():
+    from macrobase_spark.operators.audio import wav_bytes
+
+    wav = wav_bytes(np.zeros(64, dtype=np.int16), 16000)
+    assert gate_clip(wav) == ("wav", "ok")
+    assert gate_clip(wav[:-20]) == ("wav", "truncated")  # RIFF size > actual
+    bad = bytearray(wav)
+    bad[8:12] = b"AVI "
+    assert gate_clip(bytes(bad)) == ("wav", "corrupt_stream")
+
+
+def test_flac_container_check():
+    # STREAMINFO block type 0, 34-byte block
+    hdr = b"fLaC" + bytes([0x00]) + struct.pack(">I", 34)[1:] + bytes(34)
+    assert gate_clip(hdr) == ("flac", "ok")
+    assert gate_clip(hdr[:20]) == ("flac", "truncated")
+    wrong = b"fLaC" + bytes([0x04]) + struct.pack(">I", 34)[1:] + bytes(34)
+    assert gate_clip(wrong) == ("flac", "corrupt_stream")  # first block not STREAMINFO
+
+
+def test_mislabeled_clip_routes_by_magic():
+    # id 7: declared mp3 (7%3=1 -> aac actually... pick id where i%89==7)
+    i = 7
+    assert i % 89 == 7
+    # declared = cycle[i%3] = aac; bytes built as NEXT format (opus)
+    fmt, v = gate_clip(ogg_opus_stream(i)[0])
+    assert fmt == "ogg" and v == "ok"
+
+
+def test_gate_partition_stable(spark):
+    a = transport_gate(generate_mixed_clips(spark, 90).repartition(2))
+    b = transport_gate(generate_mixed_clips(spark, 90).repartition(11))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_registered_query_matches_oracle(spark):
+    got = [tuple(r) for r in QUERIES["transport_gate_stats"](spark, SF).collect()]
+    want = [tuple(r) for r in duckdb.sql(ORACLES["transport_gate_stats"]).fetchall()]
+    assert got == want and len(got) >= 8
+    # the mislabel plant is visible: some rows where declared != detected
+    mis = [r for r in got if r[4] > 0]
+    assert mis and all(r[4] == r[3] for r in mis)  # whole row mislabeled
