@@ -72,6 +72,36 @@ def test_gate_partition_stable(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_gate_stream_matches_batch(spark, tmp_path):
+    """The gate is a stateless mapInPandas, so it runs UNCHANGED on a
+    streaming DataFrame (same contract as the QA scorecard): stream
+    output must equal the batch relation row-for-row."""
+    src = str(tmp_path / "gate_src")
+    generate_mixed_clips(spark, 90).write.mode("overwrite").parquet(src)
+    batch = {
+        r["clip_id"]: tuple(r)
+        for r in transport_gate(spark.read.parquet(src)).collect()
+    }
+    stream = spark.readStream.schema("clip_id string, bytes binary, codec string").parquet(src)
+    q = (
+        transport_gate(stream)
+        .writeStream.format("memory")
+        .queryName("gate_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["clip_id"]: tuple(r)
+            for r in spark.sql("select * from gate_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch and len(got) == 90
+
+
 def test_registered_query_matches_oracle(spark):
     got = [tuple(r) for r in QUERIES["transport_gate_stats"](spark, SF).collect()]
     want = [tuple(r) for r in duckdb.sql(ORACLES["transport_gate_stats"]).fetchall()]
