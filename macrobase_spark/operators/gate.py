@@ -54,6 +54,8 @@ def detect_format(buf: bytes | None) -> str:
         return "empty"
     if buf[:4] == b"RIFF":
         return "wav"
+    if buf[:4] == b"FORM":
+        return "aiff"
     if buf[:4] == b"fLaC":
         return "flac"
     if buf[:4] == b"OggS":
@@ -73,6 +75,17 @@ def _check_wav(buf: bytes) -> str:
     if len(buf) < 12 or buf[8:12] != b"WAVE":
         return "corrupt_stream"
     declared = int.from_bytes(buf[4:8], "little")
+    if declared + 8 > len(buf):
+        return "truncated"
+    return "ok"
+
+
+def _check_aiff(buf: bytes) -> str:
+    """Container-level AIFF/AIFC: FORM fourcc + big-endian chunk size vs
+    actual length (the IFF mirror of the RIFF check)."""
+    if len(buf) < 12 or buf[8:12] not in (b"AIFF", b"AIFC"):
+        return "corrupt_stream"
+    declared = int.from_bytes(buf[4:8], "big")
     if declared + 8 > len(buf):
         return "truncated"
     return "ok"
@@ -98,6 +111,8 @@ def gate_clip(buf: bytes | None) -> tuple[str, str]:
         return fmt, "no_sync"
     if fmt == "wav":
         return fmt, _check_wav(buf)
+    if fmt == "aiff":
+        return fmt, _check_aiff(buf)
     if fmt == "flac":
         return fmt, _check_flac(buf)
     if fmt == "mp3":

@@ -48,6 +48,18 @@ def test_wav_container_check():
     assert gate_clip(bytes(bad)) == ("wav", "corrupt_stream")
 
 
+def test_aiff_container_check():
+    body = b"COMMfill" * 4
+    aiff = b"FORM" + (len(body) + 4).to_bytes(4, "big") + b"AIFF" + body
+    assert gate_clip(aiff) == ("aiff", "ok")
+    assert gate_clip(aiff[:-10]) == ("aiff", "truncated")
+    bad = bytearray(aiff)
+    bad[8:12] = b"WAVE"
+    assert gate_clip(bytes(bad)) == ("aiff", "corrupt_stream")
+    aifc = b"FORM" + (len(body) + 4).to_bytes(4, "big") + b"AIFC" + body
+    assert gate_clip(aifc) == ("aiff", "ok")
+
+
 def test_flac_container_check():
     # STREAMINFO block type 0, 34-byte block
     hdr = b"fLaC" + bytes([0x00]) + struct.pack(">I", 34)[1:] + bytes(34)
