@@ -52,14 +52,55 @@ def _crc_table() -> np.ndarray:
 _CRC_T = _crc_table()
 
 
+# slicing-by-8 (the flac.py crc16 pattern, widened): T8[k][b] = CRC of
+# byte b followed by k zero bytes. The running CRC only feeds the first
+# FOUR bytes of each 8-byte block, so the other four lookups vectorize
+# over the whole buffer up front and the Python loop does 5 table ops
+# per 8 bytes instead of 1 per byte.
+def _crc32_zero_extend(c: int, k: int) -> int:
+    for _ in range(k):
+        c = int(_CRC_T[(c >> 24) & 0xFF]) ^ ((c << 8) & 0xFFFFFFFF)
+    return c
+
+
+_CRC32_T8 = np.zeros((8, 256), dtype=np.uint32)
+for _k in range(8):
+    for _b in range(256):
+        _CRC32_T8[_k, _b] = _crc32_zero_extend(int(_CRC_T[_b]), _k)
+del _k, _b
+
+
 def ogg_crc(data: bytes) -> int:
     """Ogg's CRC-32: poly 0x04C11DB7, init 0, no reflection, no final
     xor (zlib's crc32 is the REFLECTED variant and does not match)."""
-    crc = np.uint32(0)
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = len(arr)
+    c = 0
+    head = n % 8
     t = _CRC_T
-    for b in data:
-        crc = np.uint32((crc << 8) ^ t[((crc >> 24) ^ b) & 0xFF])
-    return int(crc)
+    for b in arr[:head]:
+        c = int(t[((c >> 24) ^ int(b)) & 0xFF]) ^ ((c << 8) & 0xFFFFFFFF)
+    if n == head:
+        return c
+    blocks = arr[head:].reshape(-1, 8)
+    x = _CRC32_T8[3][blocks[:, 4]]
+    for k, col in ((2, 5), (1, 6), (0, 7)):
+        x = x ^ _CRC32_T8[k][blocks[:, col]]
+    x = x.tolist()
+    b0 = blocks[:, 0].tolist()
+    b1 = blocks[:, 1].tolist()
+    b2 = blocks[:, 2].tolist()
+    b3 = blocks[:, 3].tolist()
+    t7, t6, t5, t4 = _CRC32_T8[7], _CRC32_T8[6], _CRC32_T8[5], _CRC32_T8[4]
+    for i in range(len(x)):
+        c = (
+            int(t7[b0[i] ^ ((c >> 24) & 0xFF)])
+            ^ int(t6[b1[i] ^ ((c >> 16) & 0xFF)])
+            ^ int(t5[b2[i] ^ ((c >> 8) & 0xFF)])
+            ^ int(t4[b3[i] ^ (c & 0xFF)])
+            ^ x[i]
+        )
+    return c
 
 
 def ogg_page(
