@@ -63,7 +63,9 @@ def adts_frame(
 
 def adts_stream(clip_id: int, n_frames: int) -> tuple[bytes, int, int]:
     """Deterministic ADTS stream per clip id. Returns (bytes, sr_hz,
-    true_dur_ms). Plants (disjoint residues, house scheme):
+    true_dur_ms). Plants (residues rarely coincide but are NOT disjoint
+    — id 118 hits both %113==5 and %101==17; the walk stops at the
+    corrupt length first and precedence reports 'corrupt_stream'):
 
     - id % 127 == 21  hash-garbage payload (no sync)
     - id % 101 == 17  truncated final frame (30 bytes cut)

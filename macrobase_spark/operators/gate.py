@@ -102,6 +102,16 @@ def _check_flac(buf: bytes) -> str:
     return "ok"
 
 
+def _walk_verdict(frames: int, truncated: bool, junk: int) -> str:
+    """The shared precedence of the mp3/ADTS walkers' _VERDICT_SQL,
+    stated once so the gate cannot drift from the per-format queries."""
+    if frames == 0:
+        return "no_sync"
+    if truncated:
+        return "truncated"
+    return "corrupt_stream" if junk else "ok"
+
+
 def gate_clip(buf: bytes | None) -> tuple[str, str]:
     """(format_detected, verdict) for one payload."""
     fmt = detect_format(buf)
@@ -117,12 +127,10 @@ def gate_clip(buf: bytes | None) -> tuple[str, str]:
         return fmt, _check_flac(buf)
     if fmt == "mp3":
         f, _ed, _sr, _bn, _bx, _id3, tr, junk = walk_mp3(buf)
-        v = "no_sync" if f == 0 else "truncated" if tr else "corrupt_stream" if junk else "ok"
-        return fmt, v
+        return fmt, _walk_verdict(f, tr, junk)
     if fmt == "adts":
         f, _ed, _sr, _ch, _nc, tr, junk = walk_adts(buf)
-        v = "no_sync" if f == 0 else "truncated" if tr else "corrupt_stream" if junk else "ok"
-        return fmt, v
+        return fmt, _walk_verdict(f, tr, junk)
     # ogg
     r = walk_ogg(buf)
     n_pages, crc_bad, gaps, _bos, _eos, ch, _skip, _dur, tr, _junk = r
@@ -206,27 +214,25 @@ _GP = "read_parquet('/tmp/mb_gate_v1_400.parquet/*.parquet')"
 @register(
     "transport_gate_stats",
     f"""
-    SELECT codec, format_detected, verdict,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN label_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_mislabeled
+    SELECT codec, format_detected, verdict, label_ok,
+           CAST(count(*) AS BIGINT) AS n
     FROM {_GP}
-    GROUP BY codec, format_detected, verdict
-    ORDER BY codec, format_detected, verdict
+    GROUP BY codec, format_detected, verdict, label_ok
+    ORDER BY codec, format_detected, verdict, label_ok
     """,
 )
 def transport_gate_stats_q(spark, sf_dir: str) -> DataFrame:
     """Gate rollup over the mixed corpus: (declared codec, detected
-    transport, structural verdict) with mislabeled counts — mislabeled
-    clips appear under their DETECTED format's checks, which is the
-    point of magic-based routing. ONE partial+final hash aggregate."""
+    transport, structural verdict, label agreement) — mislabeled clips
+    appear under their DETECTED format's checks with label_ok=false,
+    which is the point of magic-based routing. label_ok is a pure
+    function of (codec, format_detected), so it rides as a group key
+    rather than a derived aggregate. ONE partial+final hash aggregate."""
     g = spark.read.parquet(gate_parquet(spark, sf_dir))
     return (
-        g.groupBy("codec", "format_detected", "verdict")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.when(F.col("label_ok"), 0).otherwise(1)).cast("long").alias("n_mislabeled"),
-        )
-        .orderBy("codec", "format_detected", "verdict")
+        g.groupBy("codec", "format_detected", "verdict", "label_ok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("codec", "format_detected", "verdict", "label_ok")
     )
 
 

@@ -81,7 +81,11 @@ def id3v2_tag(n_payload: int, seed: int) -> bytes:
 
 def mp3_stream(clip_id: int, n_frames: int) -> tuple[bytes, int, int]:
     """Deterministic mp3 stream for a clip id. Returns (bytes, sr_hz,
-    true_dur_ms). Plants (disjoint residues, matching the house scheme):
+    true_dur_ms). Plants (residues chosen to rarely coincide, but NOT
+    disjoint — id 118 hits both %113==5 and %101==17, where the walk
+    stops at the corrupt 2nd frame and the verdict precedence reports
+    'corrupt_stream', masking the truncation; both engines see the same
+    rows either way):
 
     - id % 127 == 21  hash-garbage payload (no sync anywhere)
     - id % 101 == 17  truncated final frame (last 40 bytes cut)

@@ -135,7 +135,9 @@ def opus_head(channels: int, pre_skip: int, input_sr: int) -> bytes:
 
 def ogg_opus_stream(clip_id: int, n_audio_pages: int = 4, pkts_per_page: int = 3) -> tuple[bytes, int, int]:
     """Deterministic Ogg/Opus stream per clip id. Returns (bytes, sr_hz,
-    true_dur_ms). Plants (disjoint residues, house scheme):
+    true_dur_ms). Plants (residues rarely coincide but are NOT disjoint
+    — id 118 hits both %113==5 and %101==17; verdict precedence reports
+    'truncated' for such clips since truncation stops the walk first):
 
     - id % 127 == 21  hash-garbage payload (no capture pattern)
     - id % 101 == 17  truncated final page (25 bytes cut)

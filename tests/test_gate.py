@@ -118,6 +118,6 @@ def test_registered_query_matches_oracle(spark):
     got = [tuple(r) for r in QUERIES["transport_gate_stats"](spark, SF).collect()]
     want = [tuple(r) for r in duckdb.sql(ORACLES["transport_gate_stats"]).fetchall()]
     assert got == want and len(got) >= 8
-    # the mislabel plant is visible: some rows where declared != detected
-    mis = [r for r in got if r[4] > 0]
-    assert mis and all(r[4] == r[3] for r in mis)  # whole row mislabeled
+    # the mislabel plant is visible: rows where declared != detected
+    mis = [r for r in got if not r[3]]
+    assert mis and all(r[1] != {"mp3": "mp3", "aac": "adts", "opus": "ogg"}[r[0]] for r in mis)
