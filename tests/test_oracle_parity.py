@@ -42,6 +42,11 @@ import macrobase_spark.operators.loudness  # noqa: F401
 import macrobase_spark.operators.bandwidth  # noqa: F401
 import macrobase_spark.operators.pitch  # noqa: F401
 import macrobase_spark.operators.ecod  # noqa: F401
+import macrobase_spark.operators.copod  # noqa: F401
+import macrobase_spark.operators.mp3  # noqa: F401
+import macrobase_spark.operators.aac  # noqa: F401
+import macrobase_spark.operators.ogg  # noqa: F401
+import macrobase_spark.operators.gate  # noqa: F401
 import macrobase_spark.operators.pca  # noqa: F401
 import macrobase_spark.functions.sampling  # noqa: F401
 import macrobase_spark.operators.hbos  # noqa: F401
