@@ -46,6 +46,7 @@ import macrobase_spark.operators.mp3  # noqa: E402,F401
 import macrobase_spark.operators.aac  # noqa: E402,F401
 import macrobase_spark.operators.ogg  # noqa: E402,F401
 import macrobase_spark.operators.gate  # noqa: E402,F401
+import macrobase_spark.operators.srt  # noqa: E402,F401
 import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hbos  # noqa: E402,F401
 import macrobase_spark.operators.components  # noqa: E402,F401
@@ -146,6 +147,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.aac import adts_profiles_parquet
     from macrobase_spark.operators.ogg import ogg_profiles_parquet
     from macrobase_spark.operators.gate import gate_parquet
+    from macrobase_spark.operators.srt import srt_cues_parquet
     from macrobase_spark.sources.icetable import ice_table_fixture
 
     for mat in (
@@ -196,6 +198,7 @@ def entry(spark: SparkSession) -> DataFrame:
         adts_profiles_parquet,
         ogg_profiles_parquet,
         gate_parquet,
+        srt_cues_parquet,
         ice_table_fixture,
     ):
         try:

@@ -145,6 +145,8 @@ EXTRA = [
     "opus_integrity_pipeline",
     "transport_gate_stats",
     "transport_gate_pipeline",
+    "srt_timing_stats",
+    "srt_timing_pipeline",
 ]
 
 
@@ -257,6 +259,13 @@ def _bench_only_queries() -> dict:
 
         return _g(spark, sf_dir)
 
+    def srt_timing_pipeline(spark, sf_dir):
+        """Full kernel: synthesize SRT docs -> tokenize -> declarative
+        timing verdicts, in one timed plan."""
+        from macrobase_spark.operators.srt import srt_timing_pipeline as _s
+
+        return _s(spark, sf_dir)
+
     def clips_resample_stats(spark, sf_dir):
         """Full kernel: decode → 16 kHz linear-interp resample → SNR vs the
         reference render at the new rate → per-rate stats."""
@@ -288,6 +297,7 @@ def _bench_only_queries() -> dict:
         "aac_integrity_pipeline": aac_integrity_pipeline,
         "opus_integrity_pipeline": opus_integrity_pipeline,
         "transport_gate_pipeline": transport_gate_pipeline,
+        "srt_timing_pipeline": srt_timing_pipeline,
     }
 
 
@@ -340,6 +350,7 @@ def main() -> int:
     import macrobase_spark.operators.aac  # noqa: F401
     import macrobase_spark.operators.ogg  # noqa: F401
     import macrobase_spark.operators.gate  # noqa: F401
+    import macrobase_spark.operators.srt  # noqa: F401
     import macrobase_spark.operators.pca  # noqa: F401
     import macrobase_spark.operators.hbos  # noqa: F401
     import macrobase_spark.operators.components  # noqa: F401

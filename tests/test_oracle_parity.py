@@ -47,6 +47,7 @@ import macrobase_spark.operators.mp3  # noqa: F401
 import macrobase_spark.operators.aac  # noqa: F401
 import macrobase_spark.operators.ogg  # noqa: F401
 import macrobase_spark.operators.gate  # noqa: F401
+import macrobase_spark.operators.srt  # noqa: F401
 import macrobase_spark.operators.pca  # noqa: F401
 import macrobase_spark.functions.sampling  # noqa: F401
 import macrobase_spark.operators.hbos  # noqa: F401
