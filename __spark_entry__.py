@@ -147,7 +147,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.aac import adts_profiles_parquet
     from macrobase_spark.operators.ogg import ogg_profiles_parquet
     from macrobase_spark.operators.gate import gate_parquet
-    from macrobase_spark.operators.srt import srt_cues_parquet
+    from macrobase_spark.operators.srt import srt_cues_parquet, vtt_cues_parquet
     from macrobase_spark.sources.icetable import ice_table_fixture
 
     for mat in (
@@ -199,6 +199,7 @@ def entry(spark: SparkSession) -> DataFrame:
         ogg_profiles_parquet,
         gate_parquet,
         srt_cues_parquet,
+        vtt_cues_parquet,
         ice_table_fixture,
     ):
         try:

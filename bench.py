@@ -147,6 +147,7 @@ EXTRA = [
     "transport_gate_pipeline",
     "srt_timing_stats",
     "srt_timing_pipeline",
+    "vtt_timing_stats",
 ]
 
 

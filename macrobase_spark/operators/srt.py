@@ -143,21 +143,126 @@ def generate_srt_clips(spark: SparkSession, n: int, n_cues: int = 5) -> DataFram
     return spark.range(n).mapInPandas(gen, "clip_id string, dur_ms int, transcript_srt string")
 
 
+_VTT_TS = re.compile(r"^(?:(\d{1,2}):)?([0-5]\d):([0-5]\d)\.(\d{3})$")
+
+
+def parse_vtt(text: str | None) -> list[tuple[int, int | None, int | None, int, bool]]:
+    """Tokenize one WebVTT document into the same cue tuples as
+    `parse_srt`. Dialect differences handled: mandatory WEBVTT header
+    (its absence makes every cue malformed — the file is not VTT),
+    '.'-separated milliseconds, OPTIONAL hour field, optional cue
+    identifier line, cue settings after the end timestamp, and NOTE /
+    STYLE comment blocks (skipped, not cues)."""
+    if not text:
+        return []
+    blocks = [b for b in text.split("\n\n") if b.strip()]
+    if not blocks or not blocks[0].lstrip().startswith("WEBVTT"):
+        return [(0, None, None, 0, True)]
+    cues = []
+    pos = 0
+    for block in blocks[1:]:
+        lines = [ln for ln in block.split("\n") if ln != ""]
+        if not lines or lines[0].startswith(("NOTE", "STYLE", "REGION")):
+            continue
+        # optional identifier line: the timing line is the one with -->
+        t_at = 0 if "-->" in lines[0] else 1 if len(lines) > 1 and "-->" in lines[1] else None
+        start = end = None
+        ok = t_at is not None
+        body = lines[(t_at + 1) :] if t_at is not None else lines
+        if ok:
+            left, _, right = lines[t_at].partition("-->")
+            right = right.strip().split(" ")[0]  # drop cue settings
+            ms = []
+            for p in (left.strip(), right):
+                m = _VTT_TS.match(p)
+                if m is None:
+                    break
+                h = int(m.group(1)) if m.group(1) is not None else 0
+                mi, s, mil = int(m.group(2)), int(m.group(3)), int(m.group(4))
+                ms.append(((h * 60 + mi) * 60 + s) * 1000 + mil)
+            if len(ms) == 2:
+                start, end = ms
+            else:
+                ok = False
+        cues.append((pos, start, end, sum(len(ln) for ln in body), not ok))
+        pos += 1
+    return cues
+
+
+def generate_vtt_clips(spark: SparkSession, n: int, n_cues: int = 5) -> DataFrame:
+    """(clip_id, dur_ms, transcript_srt) fixture in WebVTT dialect —
+    same timing layout and plant residues as the SRT fixture (same
+    verdicts expected), plus a dialect-specific plant:
+
+    - id % 83 == 13  missing WEBVTT header (whole file malformed)
+    """
+
+    def fmt(ms: int) -> str:
+        h, rem = divmod(ms, 3_600_000)
+        m, rem = divmod(rem, 60_000)
+        s, ms_ = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d}.{ms_:03d}"
+
+    def build(i: int) -> tuple[int, str]:
+        rng = np.random.default_rng(i * 77 + 3)  # SAME layout stream as SRT
+        span = int(rng.integers(900, 1500))
+        gap = int(rng.integers(50, 150))
+        cues = []
+        t = int(rng.integers(0, 200))
+        for k in range(n_cues):
+            start, end = t, t + span
+            words = " ".join(_WORDS[int(w) % len(_WORDS)] for w in rng.integers(0, 14, 4 + k % 3))
+            cues.append([k + 1, start, end, words])
+            t = end + gap
+        dur_ms = t + 100
+        if i % 113 == 5:
+            cues[2][1] = cues[1][2] - 200
+        if i % 101 == 17:
+            cues[2], cues[3] = cues[3], cues[2]
+        if i % 97 == 11:
+            cues[-1][2] = dur_ms + 500
+        if i % 89 == 7:
+            cues[1][3] = ""
+        blocks = ["WEBVTT", "NOTE deterministic fixture"]
+        for k, (idx, s, e, w) in enumerate(cues):
+            ts = f"{fmt(s)} --> {fmt(e)} align:start"
+            if i % 127 == 21 and k == 2:
+                ts = f"{fmt(s)} --> not-a-timestamp"
+            blocks.append(f"cue-{idx}\n{ts}\n{w}")
+        doc = "\n\n".join(blocks)
+        if i % 83 == 13:
+            doc = doc.split("\n\n", 1)[1]  # drop the WEBVTT header
+        return dur_ms, doc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for s in pdf["id"].to_numpy():
+                i = int(s)
+                dur, doc = build(i)
+                rows.append((f"vtt-{i:08d}", dur, doc))
+            yield pd.DataFrame(rows, columns=["clip_id", "dur_ms", "transcript_srt"])
+
+    return spark.range(n).mapInPandas(gen, "clip_id string, dur_ms int, transcript_srt string")
+
+
 _CUE_SCHEMA = (
     "clip_id string, dur_ms int, cue_idx int, start_ms int, end_ms int, "
     "n_chars int, malformed boolean"
 )
 
 
-def srt_cues(df: DataFrame) -> DataFrame:
+def srt_cues(df: DataFrame, dialect: str = "srt") -> DataFrame:
     """ONE mapInPandas tokenize pass -> the narrow cue relation. All
-    timing semantics live in SQL downstream."""
+    timing semantics live in SQL downstream. `dialect` picks the
+    tokenizer ('srt' or 'vtt'); the validation layer is shared."""
+    parse = {"srt": parse_srt, "vtt": parse_vtt}[dialect]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for cid, dm, txt in zip(pdf["clip_id"], pdf["dur_ms"], pdf["transcript_srt"]):
-                for pos, start, end, nch, bad in parse_srt(txt):
+                for pos, start, end, nch, bad in parse(txt):
                     out.append((cid, int(dm), pos, start, end, nch, bad))
             yield pd.DataFrame(
                 out,
@@ -223,15 +328,31 @@ def srt_cues_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def vtt_cues_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """WebVTT twin of `srt_cues_parquet` (same relation schema)."""
+    from macrobase_spark.operators.audio import _codec_clips_n
+
+    n = _codec_clips_n(sf_dir)
+    path = f"/tmp/mb_vttcues_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        srt_cues(generate_vtt_clips(spark, n), dialect="vtt").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 _SC = "read_parquet('/tmp/mb_srtcues_v1_400.parquet/*.parquet')"
+_VC = "read_parquet('/tmp/mb_vttcues_v1_400.parquet/*.parquet')"
 
 
-@register(
-    "srt_timing_stats",
-    f"""
+def _timing_oracle(rel: str) -> str:
+    """The WHOLE timing-validation layer as one SQL string over a cue
+    relation — shared verbatim by the SRT and VTT oracles (the dialects
+    differ only in the tokenizer that produced the relation)."""
+    return f"""
     WITH c AS (
       SELECT *, lag(end_ms) OVER (PARTITION BY clip_id ORDER BY cue_idx) AS prev_end
-      FROM {_SC}
+      FROM {rel}
     ), agg AS (
       SELECT clip_id, dur_ms,
              count(*) AS n_cues,
@@ -260,16 +381,12 @@ _SC = "read_parquet('/tmp/mb_srtcues_v1_400.parquet/*.parquet')"
     FROM v
     GROUP BY verdict
     ORDER BY verdict
-    """,
-)
-def srt_timing_stats_q(spark, sf_dir: str) -> DataFrame:
-    """Timed-transcript scorecard: clip counts per verdict plus the
-    coverage envelope of clean clips (cue spans over audio duration —
-    the plant keeps clean clips in a tight band, so the envelope
-    certifies the span arithmetic end-to-end). The tokenizer ran once at
-    materialization; this query and its oracle replay the ENTIRE timing
-    validation declaratively."""
-    v = srt_clip_verdicts(spark.read.parquet(srt_cues_parquet(spark, sf_dir)))
+    """
+
+
+def _timing_stats(v: DataFrame) -> DataFrame:
+    """Per-verdict rollup + clean-clip coverage envelope (shared by the
+    SRT and VTT registered queries)."""
     return (
         v.groupBy("verdict")
         .agg(
@@ -283,6 +400,31 @@ def srt_timing_stats_q(spark, sf_dir: str) -> DataFrame:
             ).alias("max_ok_coverage"),
         )
         .orderBy("verdict")
+    )
+
+
+@register("srt_timing_stats", _timing_oracle(_SC))
+def srt_timing_stats_q(spark, sf_dir: str) -> DataFrame:
+    """Timed-transcript scorecard: clip counts per verdict plus the
+    coverage envelope of clean clips (cue spans over audio duration —
+    the plant keeps clean clips in a tight band, so the envelope
+    certifies the span arithmetic end-to-end). The tokenizer ran once at
+    materialization; this query and its oracle replay the ENTIRE timing
+    validation declaratively."""
+    return _timing_stats(
+        srt_clip_verdicts(spark.read.parquet(srt_cues_parquet(spark, sf_dir)))
+    )
+
+
+@register("vtt_timing_stats", _timing_oracle(_VC))
+def vtt_timing_stats_q(spark, sf_dir: str) -> DataFrame:
+    """WebVTT twin of `srt_timing_stats`: identical validation layer
+    (and identical oracle SQL modulo the cue-relation path) over cues
+    produced by the VTT tokenizer — headers/NOTE blocks, optional cue
+    ids, '.'-millisecond optional-hour timestamps, cue settings, and a
+    missing-WEBVTT-header plant on top of the shared timing plants."""
+    return _timing_stats(
+        srt_clip_verdicts(spark.read.parquet(vtt_cues_parquet(spark, sf_dir)))
     )
 
 

@@ -79,6 +79,46 @@ def test_fixture_plants_land_in_their_verdicts(spark):
     assert v["srt-00000000"] == "ok"
 
 
+def test_parse_vtt_dialect():
+    from macrobase_spark.operators.srt import parse_vtt
+
+    doc = (
+        "WEBVTT\n\nNOTE fixture\n\ncue-1\n00:00.100 --> 00:01.000 align:start\nhello\n\n"
+        "00:01.100 --> 01:00:02.000\nworld"
+    )
+    assert parse_vtt(doc) == [
+        (0, 100, 1000, 5, False),
+        (1, 1100, 3_602_000, 5, False),  # optional-hour long form
+    ]
+    # a missing WEBVTT header poisons the file
+    assert parse_vtt("1\n00:00.100 --> 00:01.000\nx") == [(0, None, None, 0, True)]
+    # comma milliseconds (SRT style) are NOT valid VTT
+    assert parse_vtt("WEBVTT\n\n1\n00:00:00,100 --> 00:00:01,000\nx")[0][4] is True
+
+
+def test_vtt_fixture_plants_land_in_their_verdicts(spark):
+    from macrobase_spark.operators.srt import generate_vtt_clips
+
+    cues = srt_cues(generate_vtt_clips(spark, 130), dialect="vtt")
+    v = {r["clip_id"]: r["verdict"] for r in srt_clip_verdicts(cues).collect()}
+    assert v["vtt-00000013"] == "malformed"  # missing WEBVTT header
+    assert v["vtt-00000021"] == "malformed"
+    assert v["vtt-00000005"] == "disorder"
+    assert v["vtt-00000011"] == "out_of_bounds"
+    assert v["vtt-00000007"] == "empty_cue"
+    assert v["vtt-00000000"] == "ok"
+
+
+def test_vtt_registered_query_matches_oracle(spark):
+    got = [tuple(r) for r in QUERIES["vtt_timing_stats"](spark, SF).collect()]
+    want = [tuple(r) for r in duckdb.sql(ORACLES["vtt_timing_stats"]).fetchall()]
+    assert len(got) == len(want) >= 4
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        for x, y in zip(g[3:], w[3:]):
+            assert x == pytest.approx(y, abs=1e-4)
+
+
 def test_generation_partition_stable(spark):
     a = srt_cues(generate_srt_clips(spark, 60).repartition(2))
     b = srt_cues(generate_srt_clips(spark, 60).repartition(13))
