@@ -47,6 +47,7 @@ import macrobase_spark.operators.aac  # noqa: E402,F401
 import macrobase_spark.operators.ogg  # noqa: E402,F401
 import macrobase_spark.operators.gate  # noqa: E402,F401
 import macrobase_spark.operators.srt  # noqa: E402,F401
+import macrobase_spark.operators.alignment  # noqa: E402,F401
 import macrobase_spark.operators.pca  # noqa: E402,F401
 import macrobase_spark.operators.hbos  # noqa: E402,F401
 import macrobase_spark.operators.components  # noqa: E402,F401
@@ -148,6 +149,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.ogg import ogg_profiles_parquet
     from macrobase_spark.operators.gate import gate_parquet
     from macrobase_spark.operators.srt import srt_cues_parquet, vtt_cues_parquet
+    from macrobase_spark.operators.alignment import aligned_cues_parquet
     from macrobase_spark.sources.icetable import ice_table_fixture
 
     for mat in (
@@ -200,6 +202,7 @@ def entry(spark: SparkSession) -> DataFrame:
         gate_parquet,
         srt_cues_parquet,
         vtt_cues_parquet,
+        aligned_cues_parquet,
         ice_table_fixture,
     ):
         try:

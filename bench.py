@@ -148,6 +148,7 @@ EXTRA = [
     "srt_timing_stats",
     "srt_timing_pipeline",
     "vtt_timing_stats",
+    "transcript_alignment_stats",
 ]
 
 
@@ -352,6 +353,7 @@ def main() -> int:
     import macrobase_spark.operators.ogg  # noqa: F401
     import macrobase_spark.operators.gate  # noqa: F401
     import macrobase_spark.operators.srt  # noqa: F401
+    import macrobase_spark.operators.alignment  # noqa: F401
     import macrobase_spark.operators.pca  # noqa: F401
     import macrobase_spark.operators.hbos  # noqa: F401
     import macrobase_spark.operators.components  # noqa: F401

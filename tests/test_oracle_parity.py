@@ -48,6 +48,7 @@ import macrobase_spark.operators.aac  # noqa: F401
 import macrobase_spark.operators.ogg  # noqa: F401
 import macrobase_spark.operators.gate  # noqa: F401
 import macrobase_spark.operators.srt  # noqa: F401
+import macrobase_spark.operators.alignment  # noqa: F401
 import macrobase_spark.operators.pca  # noqa: F401
 import macrobase_spark.functions.sampling  # noqa: F401
 import macrobase_spark.operators.hbos  # noqa: F401
