@@ -64,9 +64,11 @@ def parse_srt(text: str | None) -> list[tuple[int, int | None, int | None, int, 
     A cue is malformed when its timing line does not parse
     (HH:MM:SS,mmm --> HH:MM:SS,mmm) or its index line is not an
     integer; malformed cues keep their position with NULL times so the
-    SQL layer can count them without losing clip accounting."""
+    SQL layer can count them without losing clip accounting. Line
+    endings are normalized first — real-world SRT is routinely CRLF."""
     if not text:
         return []
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
     cues = []
     for pos, block in enumerate(b for b in text.split("\n\n") if b.strip()):
         lines = [ln for ln in block.split("\n") if ln != ""]
@@ -91,6 +93,35 @@ def parse_srt(text: str | None) -> list[tuple[int, int | None, int | None, int, 
     return cues
 
 
+def _cue_layout(i: int, n_cues: int) -> tuple[int, list]:
+    """The ONE timing/plant layout both dialect fixtures render (the
+    cross-dialect "same verdicts" guarantee is this shared function, not
+    a copy-paste invariant): returns (dur_ms, [[idx, start, end, words],
+    ...]) with the overlap / disorder / out-of-bounds / empty-cue plants
+    applied. The malformed-timestamp plant lives in the renderers (it is
+    a SYNTAX defect, dialect-specific by nature)."""
+    rng = np.random.default_rng(i * 77 + 3)
+    span = int(rng.integers(900, 1500))  # per-cue span ms
+    gap = int(rng.integers(50, 150))
+    cues = []
+    t = int(rng.integers(0, 200))
+    for k in range(n_cues):
+        start, end = t, t + span
+        words = " ".join(_WORDS[int(w) % len(_WORDS)] for w in rng.integers(0, 14, 4 + k % 3))
+        cues.append([k + 1, start, end, words])
+        t = end + gap
+    dur_ms = t + 100
+    if i % 113 == 5:
+        cues[2][1] = cues[1][2] - 200  # overlap previous cue
+    if i % 101 == 17:
+        cues[2], cues[3] = cues[3], cues[2]  # out of order
+    if i % 97 == 11:
+        cues[-1][2] = dur_ms + 500  # past the audio end
+    if i % 89 == 7:
+        cues[1][3] = ""
+    return dur_ms, cues
+
+
 def generate_srt_clips(spark: SparkSession, n: int, n_cues: int = 5) -> DataFrame:
     """(clip_id, dur_ms, transcript_srt) fixture — deterministic at any
     partitioning. Plants (residues rarely coincide but NOT disjoint;
@@ -104,38 +135,20 @@ def generate_srt_clips(spark: SparkSession, n: int, n_cues: int = 5) -> DataFram
     """
 
     def build(i: int) -> tuple[int, str]:
-        rng = np.random.default_rng(i * 77 + 3)
-        span = int(rng.integers(900, 1500))  # per-cue span ms
-        gap = int(rng.integers(50, 150))
-        cues = []
-        t = int(rng.integers(0, 200))
-        for k in range(n_cues):
-            start, end = t, t + span
-            words = " ".join(_WORDS[int(w) % len(_WORDS)] for w in rng.integers(0, 14, 4 + k % 3))
-            cues.append([k + 1, start, end, words])
-            t = end + gap
-        dur_ms = t + 100
-        if i % 113 == 5:
-            cues[2][1] = cues[1][2] - 200  # overlap previous cue
-        if i % 101 == 17:
-            cues[2], cues[3] = cues[3], cues[2]  # out of order
-        if i % 97 == 11:
-            cues[-1][2] = dur_ms + 500  # past the audio end
-        if i % 89 == 7:
-            cues[1][3] = ""
+        dur_ms, cues = _cue_layout(i, n_cues)
         blocks = []
-        for k, (idx, s, e, w) in enumerate(cues):
-            ts = f"{_fmt_ts(s)} --> {_fmt_ts(e)}"
+        for k, (idx, st, e, w) in enumerate(cues):
+            ts = f"{_fmt_ts(st)} --> {_fmt_ts(e)}"
             if i % 127 == 21 and k == 2:
-                ts = f"{_fmt_ts(s)} --> not-a-timestamp"
+                ts = f"{_fmt_ts(st)} --> not-a-timestamp"
             blocks.append(f"{idx}\n{ts}\n{w}")
         return dur_ms, "\n\n".join(blocks)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for s in pdf["id"].to_numpy():
-                i = int(s)
+            for sid in pdf["id"].to_numpy():
+                i = int(sid)
                 dur, srt = build(i)
                 rows.append((f"srt-{i:08d}", dur, srt))
             yield pd.DataFrame(rows, columns=["clip_id", "dur_ms", "transcript_srt"])
@@ -152,9 +165,11 @@ def parse_vtt(text: str | None) -> list[tuple[int, int | None, int | None, int, 
     (its absence makes every cue malformed — the file is not VTT),
     '.'-separated milliseconds, OPTIONAL hour field, optional cue
     identifier line, cue settings after the end timestamp, and NOTE /
-    STYLE comment blocks (skipped, not cues)."""
+    STYLE comment blocks (skipped, not cues). CRLF normalized like
+    `parse_srt`."""
     if not text:
         return []
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
     blocks = [b for b in text.split("\n\n") if b.strip()]
     if not blocks or not blocks[0].lstrip().startswith("WEBVTT"):
         return [(0, None, None, 0, True)]
@@ -162,7 +177,10 @@ def parse_vtt(text: str | None) -> list[tuple[int, int | None, int | None, int, 
     pos = 0
     for block in blocks[1:]:
         lines = [ln for ln in block.split("\n") if ln != ""]
-        if not lines or lines[0].startswith(("NOTE", "STYLE", "REGION")):
+        # comment/style blocks: FIRST TOKEN is NOTE/STYLE/REGION (a cue
+        # identifier may legally merely START with those letters, e.g.
+        # "NOTES" — prefix matching would silently swallow that cue)
+        if not lines or lines[0].split(None, 1)[0] in ("NOTE", "STYLE", "REGION"):
             continue
         # optional identifier line: the timing line is the one with -->
         t_at = 0 if "-->" in lines[0] else 1 if len(lines) > 1 and "-->" in lines[1] else None
@@ -191,43 +209,20 @@ def parse_vtt(text: str | None) -> list[tuple[int, int | None, int | None, int, 
 
 def generate_vtt_clips(spark: SparkSession, n: int, n_cues: int = 5) -> DataFrame:
     """(clip_id, dur_ms, transcript_srt) fixture in WebVTT dialect —
-    same timing layout and plant residues as the SRT fixture (same
-    verdicts expected), plus a dialect-specific plant:
+    the SAME `_cue_layout` timing/plant stream as the SRT fixture (same
+    verdicts expected by construction), plus a dialect-specific plant:
 
     - id % 83 == 13  missing WEBVTT header (whole file malformed)
     """
 
-    def fmt(ms: int) -> str:
-        h, rem = divmod(ms, 3_600_000)
-        m, rem = divmod(rem, 60_000)
-        s, ms_ = divmod(rem, 1000)
-        return f"{h:02d}:{m:02d}:{s:02d}.{ms_:03d}"
-
     def build(i: int) -> tuple[int, str]:
-        rng = np.random.default_rng(i * 77 + 3)  # SAME layout stream as SRT
-        span = int(rng.integers(900, 1500))
-        gap = int(rng.integers(50, 150))
-        cues = []
-        t = int(rng.integers(0, 200))
-        for k in range(n_cues):
-            start, end = t, t + span
-            words = " ".join(_WORDS[int(w) % len(_WORDS)] for w in rng.integers(0, 14, 4 + k % 3))
-            cues.append([k + 1, start, end, words])
-            t = end + gap
-        dur_ms = t + 100
-        if i % 113 == 5:
-            cues[2][1] = cues[1][2] - 200
-        if i % 101 == 17:
-            cues[2], cues[3] = cues[3], cues[2]
-        if i % 97 == 11:
-            cues[-1][2] = dur_ms + 500
-        if i % 89 == 7:
-            cues[1][3] = ""
+        dur_ms, cues = _cue_layout(i, n_cues)
         blocks = ["WEBVTT", "NOTE deterministic fixture"]
-        for k, (idx, s, e, w) in enumerate(cues):
-            ts = f"{fmt(s)} --> {fmt(e)} align:start"
+        for k, (idx, st, e, w) in enumerate(cues):
+            vts = lambda ms: _fmt_ts(ms).replace(",", ".")
+            ts = f"{vts(st)} --> {vts(e)} align:start"
             if i % 127 == 21 and k == 2:
-                ts = f"{fmt(s)} --> not-a-timestamp"
+                ts = f"{vts(st)} --> not-a-timestamp"
             blocks.append(f"cue-{idx}\n{ts}\n{w}")
         doc = "\n\n".join(blocks)
         if i % 83 == 13:
@@ -237,8 +232,8 @@ def generate_vtt_clips(spark: SparkSession, n: int, n_cues: int = 5) -> DataFram
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for s in pdf["id"].to_numpy():
-                i = int(s)
+            for sid in pdf["id"].to_numpy():
+                i = int(sid)
                 dur, doc = build(i)
                 rows.append((f"vtt-{i:08d}", dur, doc))
             yield pd.DataFrame(rows, columns=["clip_id", "dur_ms", "transcript_srt"])

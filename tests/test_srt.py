@@ -79,6 +79,26 @@ def test_fixture_plants_land_in_their_verdicts(spark):
     assert v["srt-00000000"] == "ok"
 
 
+def test_parse_crlf_line_endings():
+    """Real-world SRT/VTT is routinely CRLF; both parsers normalize."""
+    from macrobase_spark.operators.srt import parse_vtt
+
+    doc = "1\r\n00:00:00,100 --> 00:00:01,000\r\nhello\r\n\r\n2\r\n00:00:01,100 --> 00:00:02,000\r\nbye"
+    assert parse_srt(doc) == [(0, 100, 1000, 5, False), (1, 1100, 2000, 3, False)]
+    vdoc = "WEBVTT\r\n\r\n00:00.100 --> 00:01.000\r\nhello"
+    assert parse_vtt(vdoc) == [(0, 100, 1000, 5, False)]
+
+
+def test_vtt_cue_identifier_starting_with_note():
+    """'NOTES' is a legal cue identifier — only the TOKEN 'NOTE' starts
+    a comment block; prefix matching would silently drop the cue."""
+    from macrobase_spark.operators.srt import parse_vtt
+
+    doc = "WEBVTT\n\nNOTES\n00:00:01.000 --> 00:00:02.000\nhello"
+    assert parse_vtt(doc) == [(0, 1000, 2000, 5, False)]
+    assert parse_vtt("WEBVTT\n\nNOTE this is a comment\nmore comment") == []
+
+
 def test_parse_vtt_dialect():
     from macrobase_spark.operators.srt import parse_vtt
 
