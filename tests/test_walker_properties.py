@@ -53,6 +53,50 @@ def test_adts_walk_recovers_any_valid_stream(n, sr, ch, plen, crc, rdb):
     assert nc == (n if crc else 0)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_transcript_parsers_total_on_arbitrary_text(doc):
+    from macrobase_spark.operators.srt import parse_srt, parse_vtt
+
+    for cues in (parse_srt(doc), parse_vtt(doc)):
+        for pos, start, end, nch, bad in cues:
+            assert pos >= 0 and nch >= 0
+            assert bad or (start is not None and end is not None)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    start0=st.integers(min_value=0, max_value=5000),
+    span=st.integers(min_value=1, max_value=10_000_000),
+    gap=st.integers(min_value=0, max_value=5000),
+    crlf=st.booleans(),
+)
+def test_srt_roundtrip_any_layout(n, start0, span, gap, crlf):
+    """Rendered cue layouts tokenize back exactly — any spans/gaps
+    (multi-hour audiobook timestamps included), both line-ending
+    conventions."""
+    from macrobase_spark.operators.srt import _fmt_ts, parse_srt, parse_vtt
+
+    t = start0
+    blocks_s, blocks_v, want = [], [], []
+    for k in range(n):
+        s_, e_ = t, t + span
+        body = f"w{k}"
+        blocks_s.append(f"{k + 1}\n{_fmt_ts(s_)} --> {_fmt_ts(e_)}\n{body}")
+        vts = lambda ms: _fmt_ts(ms).replace(",", ".")
+        blocks_v.append(f"{k + 1}\n{vts(s_)} --> {vts(e_)}\n{body}")
+        want.append((k, s_, e_, len(body), False))
+        t = e_ + gap
+    doc_s = "\n\n".join(blocks_s)
+    doc_v = "WEBVTT\n\n" + "\n\n".join(blocks_v)
+    if crlf:
+        doc_s = doc_s.replace("\n", "\r\n")
+        doc_v = doc_v.replace("\n", "\r\n")
+    assert parse_srt(doc_s) == want
+    assert parse_vtt(doc_v) == want
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     n=st.integers(min_value=1, max_value=8),
