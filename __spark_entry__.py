@@ -149,7 +149,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.ogg import ogg_profiles_parquet
     from macrobase_spark.operators.gate import gate_parquet
     from macrobase_spark.operators.srt import srt_cues_parquet, vtt_cues_parquet
-    from macrobase_spark.operators.alignment import aligned_cues_parquet
+    from macrobase_spark.operators.alignment import aligned_cues_parquet, silence_spans_parquet
     from macrobase_spark.sources.icetable import ice_table_fixture
 
     for mat in (
@@ -203,6 +203,7 @@ def entry(spark: SparkSession) -> DataFrame:
         srt_cues_parquet,
         vtt_cues_parquet,
         aligned_cues_parquet,
+        silence_spans_parquet,
         ice_table_fixture,
     ):
         try:

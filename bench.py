@@ -149,6 +149,7 @@ EXTRA = [
     "srt_timing_pipeline",
     "vtt_timing_stats",
     "transcript_alignment_stats",
+    "cue_silence_stats",
 ]
 
 

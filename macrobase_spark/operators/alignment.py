@@ -172,3 +172,153 @@ def transcript_alignment_stats_q(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# cue-grain silence overlap (the finer-grained alignment check)
+# ---------------------------------------------------------------------------
+
+
+def silence_spans(
+    df: DataFrame, thresh: float = 0.01, min_run_ms: float = 50.0
+) -> DataFrame:
+    """(clip_id, span_idx, start_ms, end_ms) — the ACTUAL silent
+    intervals of each clip (runs of |sample| < thresh at least
+    min_run_ms long), the span-grain complement of
+    `silence.silence_features`' per-clip scalars. One mapInPandas decode
+    scan; the emitted relation is ~30 B/row and everything downstream is
+    SQL."""
+    from macrobase_spark.operators.audio import _decode_wav_view, _run_lengths
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                dec = _decode_wav_view(np.frombuffer(bytes(b), dtype=np.uint8)) if b is not None else None
+                if dec is None:
+                    continue
+                sr, pcm = dec
+                if len(pcm) == 0:
+                    continue
+                quiet = np.abs(pcm) < thresh
+                if not quiet.any():
+                    continue
+                starts, lens = _run_lengths(quiet)
+                ms = 1000.0 / sr
+                j = 0
+                for st, ln in zip(starts, lens):
+                    if ln * ms >= min_run_ms:
+                        out.append((cid, j, int(round(st * ms)), int(round((st + ln) * ms))))
+                        j += 1
+            yield pd.DataFrame(out, columns=["clip_id", "span_idx", "start_ms", "end_ms"])
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        run, "clip_id string, span_idx int, start_ms int, end_ms int"
+    )
+
+
+def cue_silence_fractions(cues: DataFrame, spans: DataFrame) -> DataFrame:
+    """(clip_id, cue_idx, silent_frac, flag) — per CUE, the fraction of
+    its interval lying inside detected silence: interval intersection as
+    a clip_id equi-join + greatest/least arithmetic (cues and spans per
+    clip are both tiny, so the join stays at the clip grain — no range
+    join machinery needed), LEFT so silence-free cues keep frac 0. A cue
+    mostly over silence (>= 0.8) is a misaligned CUE even when the clip
+    as a whole passes every check."""
+    ov = (
+        cues.select("clip_id", "cue_idx", "start_ms", "end_ms")
+        .join(
+            spans.select(
+                "clip_id",
+                F.col("start_ms").alias("s_start"),
+                F.col("end_ms").alias("s_end"),
+            ),
+            "clip_id",
+            "left",
+        )
+        .groupBy("clip_id", "cue_idx", "start_ms", "end_ms")
+        .agg(
+            # NULL-guard explicitly: Spark's least/greatest SKIP nulls, so
+            # a LEFT-join miss would otherwise collapse least(end, NULL)
+            # to end and count the whole cue as overlap
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("s_start").isNull(), F.lit(0)).otherwise(
+                        F.greatest(
+                            F.lit(0),
+                            F.least(F.col("end_ms"), F.col("s_end"))
+                            - F.greatest(F.col("start_ms"), F.col("s_start")),
+                        )
+                    )
+                ),
+                F.lit(0),
+            ).alias("silent_ms")
+        )
+    )
+    frac = F.col("silent_ms") / (F.col("end_ms") - F.col("start_ms")).cast("double")
+    return ov.select(
+        "clip_id",
+        "cue_idx",
+        F.round(frac, 4).alias("silent_frac"),
+        F.when(frac >= 0.8, "cue_over_silence").otherwise("ok").alias("flag"),
+    )
+
+
+def silence_spans_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the silence-span relation for the alignment fixture
+    (same generator as the feature parquet) so the oracle replays the
+    cue-grain intersection over identical rows."""
+    from macrobase_spark.operators.silence import _silence_n, generate_silence_clips
+
+    n = _silence_n(sf_dir)
+    path = f"/tmp/mb_silspans_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        silence_spans(generate_silence_clips(spark, n)).write.mode("overwrite").parquet(path)
+    return path
+
+
+_SS = "read_parquet('/tmp/mb_silspans_v1_1000.parquet/*.parquet')"
+
+
+@register(
+    "cue_silence_stats",
+    f"""
+    WITH ov AS (
+      SELECT c.clip_id, c.cue_idx, c.start_ms, c.end_ms,
+             coalesce(sum(CASE WHEN s.start_ms IS NULL THEN 0
+                               ELSE greatest(0, least(c.end_ms, s.end_ms)
+                                             - greatest(c.start_ms, s.start_ms)) END),
+                      0) AS silent_ms
+      FROM {_AC} c LEFT JOIN {_SS} s ON c.clip_id = s.clip_id
+      GROUP BY c.clip_id, c.cue_idx, c.start_ms, c.end_ms
+    ), v AS (
+      SELECT CASE WHEN silent_ms / CAST(end_ms - start_ms AS DOUBLE) >= 0.8
+                  THEN 'cue_over_silence' ELSE 'ok' END AS flag,
+             silent_ms / CAST(end_ms - start_ms AS DOUBLE) AS silent_frac
+      FROM ov
+    )
+    SELECT flag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(silent_frac), 4) AS avg_silent_frac
+    FROM v GROUP BY flag ORDER BY flag
+    """,
+)
+def cue_silence_stats_q(spark, sf_dir: str) -> DataFrame:
+    """Cue-grain alignment rollup: how many individual transcript cues
+    lie (mostly) over detected silence. The clip-grain check
+    (`transcript_alignment_stats`) sees dead CLIPS; this one catches a
+    single misplaced cue inside an otherwise-healthy clip — the planted
+    mid-clip dead-air gap drags exactly the cues that overlap it."""
+    cues = spark.read.parquet(aligned_cues_parquet(spark, sf_dir))
+    spans = spark.read.parquet(silence_spans_parquet(spark, sf_dir))
+    v = cue_silence_fractions(cues, spans)
+    return (
+        v.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("silent_frac"), 4).alias("avg_silent_frac"),
+        )
+        .orderBy("flag")
+    )

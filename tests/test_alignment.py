@@ -64,6 +64,48 @@ def test_planted_misalignments_from_real_fixture(spark):
     assert counts["cues_over_silence"] >= 10 and counts["untranscribed_speech"] >= 20
 
 
+def test_cue_grain_silence_overlap(spark):
+    """The finer check: the planted mid-clip dead-air gap drags EXACTLY
+    the cue that overlaps it; clean tone clips have zero silent
+    fraction everywhere; LEFT-join misses (no silence spans) must read
+    as 0, not 1 (Spark's least/greatest skip nulls — regression)."""
+    from macrobase_spark.operators.alignment import (
+        cue_silence_fractions,
+        silence_spans,
+    )
+    from macrobase_spark.operators.silence import (
+        generate_silence_clips,
+        silence_features,
+    )
+
+    clips = generate_silence_clips(spark, 120)
+    v = cue_silence_fractions(
+        srt_cues(srt_for_silence_clips(silence_features(clips))),
+        silence_spans(clips),
+    )
+    rows = v.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["clip_id"], {})[r["cue_idx"]] = (r["silent_frac"], r["flag"])
+    # clean tone: no spans at all -> every cue 0.0 (the null-guard case)
+    assert all(f == 0.0 for f, _ in by["sclip_000000000"].values())
+    # gap clip: only the middle cue overlaps the 150 ms gap
+    assert by["sclip_000000002"][1][1] == "cue_over_silence"
+    assert by["sclip_000000002"][0][1] == "ok"
+    assert by["sclip_000000002"][2][1] == "ok"
+    # dead clip: every cue fully silent
+    assert all(f == 1.0 for f, _ in by["sclip_000000004"].values())
+
+
+def test_cue_silence_query_matches_oracle(spark):
+    got = [tuple(r) for r in QUERIES["cue_silence_stats"](spark, SF).collect()]
+    want = [tuple(r) for r in duckdb.sql(ORACLES["cue_silence_stats"]).fetchall()]
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        assert g[2] == pytest.approx(w[2], abs=1e-4)
+
+
 def test_registered_query_matches_oracle(spark):
     got = [tuple(r) for r in QUERIES["transcript_alignment_stats"](spark, SF).collect()]
     want = [tuple(r) for r in duckdb.sql(ORACLES["transcript_alignment_stats"]).fetchall()]
