@@ -126,11 +126,15 @@ def walk_adts(buf: bytes | None) -> tuple[int, float, int, int, int, bool, int]:
     Walk stops at: broken sync, layer != 0, invalid sampling index,
     frame length < header size (a scrambled length field), a header the
     NEXT step lands outside sync on, or a frame extending past the
-    buffer (-> truncated)."""
+    buffer (-> truncated). An ID3v2 tag prefix is skipped (ID3 fronts
+    ADTS streams in the wild just like mp3; the gate routes them here)."""
     if not buf:
         return 0, 0.0, 0, 0, 0, False, 0
     n = len(buf)
     pos = 0
+    if n >= 10 and buf[0:3] == b"ID3":
+        size = ((buf[6] & 0x7F) << 21) | ((buf[7] & 0x7F) << 14) | ((buf[8] & 0x7F) << 7) | (buf[9] & 0x7F)
+        pos = min(10 + size, n)
     frames = 0
     dur_ms = 0.0
     sr_first = 0

@@ -61,7 +61,20 @@ def detect_format(buf: bytes | None) -> str:
     if buf[:4] == b"OggS":
         return "ogg"
     if buf[:3] == b"ID3":
-        return "mp3"  # ID3v2 tags front mp3 streams in practice
+        # ID3v2 fronts BOTH mp3 and ADTS streams in the wild: peek past
+        # the tag (syncsafe size) and classify the first frame header
+        if len(buf) >= 10:
+            size = (
+                ((buf[6] & 0x7F) << 21)
+                | ((buf[7] & 0x7F) << 14)
+                | ((buf[8] & 0x7F) << 7)
+                | (buf[9] & 0x7F)
+            )
+            p = 10 + size
+            if p + 2 <= len(buf) and buf[p] == 0xFF:
+                if (buf[p + 1] & 0xF0) == 0xF0 and (buf[p + 1] >> 1) & 0x3 == 0:
+                    return "adts"
+        return "mp3"
     if buf[0] == 0xFF and (buf[1] & 0xF0) == 0xF0 and (buf[1] >> 1) & 0x3 == 0:
         return "adts"  # 0xFFF sync with layer 00
     if buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0:

@@ -37,6 +37,22 @@ def test_detect_format_families():
     assert detect_format(b"\xff") == "empty"
 
 
+def test_id3_prefixed_adts_routes_to_adts():
+    """ID3v2 fronts ADTS streams in the wild too — the gate peeks past
+    the tag instead of assuming mp3, and the ADTS walker skips it."""
+    from macrobase_spark.operators.aac import adts_frame, walk_adts
+    from macrobase_spark.operators.mp3 import id3v2_tag
+
+    body = b"".join(adts_frame(4, 1, 100, seed=k) for k in range(3))
+    buf = id3v2_tag(80, seed=1) + body
+    assert detect_format(buf) == "adts"
+    f, ed, sr, ch, nc, tr, junk = walk_adts(buf)
+    assert (f, sr, tr, junk) == (3, 44100, False, 0)
+    assert gate_clip(buf) == ("adts", "ok")
+    # ID3 + mp3 still detects mp3
+    assert detect_format(mp3_stream(3, 4)[0]) == "mp3"
+
+
 def test_wav_container_check():
     from macrobase_spark.operators.audio import wav_bytes
 
