@@ -83,13 +83,31 @@ def detect_format(buf: bytes | None) -> str:
 
 
 def _check_wav(buf: bytes) -> str:
-    """Container-level RIFF/WAVE structure: fourcc + declared RIFF size
-    vs actual length (the deep decode+SNR check is a separate operator)."""
+    """RIFF/WAVE structural walk: fourcc + declared RIFF size vs actual
+    length, then the CHUNK CHAIN — ids/sizes must chain inside the
+    buffer (odd sizes pad per spec) and a playable file needs both a
+    `fmt ` and a `data` chunk. No decode (that is audio.decode_audio's
+    job); this localizes truncation/corruption at the chunk grain."""
     if len(buf) < 12 or buf[8:12] != b"WAVE":
         return "corrupt_stream"
     declared = int.from_bytes(buf[4:8], "little")
     if declared + 8 > len(buf):
         return "truncated"
+    pos = 12
+    saw_fmt = saw_data = False
+    while pos + 8 <= declared + 8:
+        cid = buf[pos : pos + 4]
+        csz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            saw_fmt = True
+        elif cid == b"data":
+            saw_data = True
+        adv = 8 + csz + (csz & 1)
+        if pos + adv > len(buf):
+            return "truncated"
+        pos += adv
+    if not (saw_fmt and saw_data):
+        return "corrupt_stream"
     return "ok"
 
 
@@ -105,13 +123,42 @@ def _check_aiff(buf: bytes) -> str:
 
 
 def _check_flac(buf: bytes) -> str:
-    """Container-level FLAC: STREAMINFO must be the first metadata block
-    (format requirement) and the header area must fit."""
-    if len(buf) < 8 or (buf[4] & 0x7F) != 0:
+    """FLAC metadata-block walk (no decode — operators/flac.py does the
+    full CRC/MD5-verified decode): STREAMINFO must be FIRST and unique
+    (format requirements), block type 127 is invalid, block lengths must
+    chain inside the buffer, and the audio section after the last
+    metadata block must open on a frame sync (0xFF 0xF8..0xFB)."""
+    if len(buf) < 8:
         return "corrupt_stream"
-    block_len = int.from_bytes(buf[5:8], "big")
-    if 8 + block_len > len(buf):
-        return "truncated"
+    pos = 4
+    first = True
+    saw_streaminfo = False
+    last = False
+    while pos + 4 <= len(buf):
+        hdr = buf[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        if btype == 127:
+            return "corrupt_stream"
+        if first and btype != 0:
+            return "corrupt_stream"
+        if btype == 0:
+            if saw_streaminfo:
+                return "corrupt_stream"  # duplicate STREAMINFO
+            saw_streaminfo = True
+        blen = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        if pos + 4 + blen > len(buf):
+            return "truncated"
+        pos += 4 + blen
+        first = False
+        if last:
+            break
+    if not saw_streaminfo or not last:
+        return "truncated" if saw_streaminfo else "corrupt_stream"
+    if pos + 2 > len(buf):
+        return "truncated"  # metadata only, no audio frames
+    if buf[pos] != 0xFF or (buf[pos + 1] & 0xFC) != 0xF8:
+        return "corrupt_stream"
     return "ok"
 
 

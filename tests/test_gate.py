@@ -62,6 +62,35 @@ def test_wav_container_check():
     bad = bytearray(wav)
     bad[8:12] = b"AVI "
     assert gate_clip(bytes(bad)) == ("wav", "corrupt_stream")
+    nofmt = bytearray(wav)
+    nofmt[12:16] = b"LIST"  # rename the fmt chunk: chain walks, unplayable
+    assert gate_clip(bytes(nofmt)) == ("wav", "corrupt_stream")
+
+
+def test_flac_metadata_walk():
+    """Deep FLAC structure on the engine's own encoder output: block
+    chaining, STREAMINFO first/unique, type 127 invalid, audio section
+    must open on a frame sync."""
+    from macrobase_spark.operators.audio import sin_samples
+    from macrobase_spark.operators.flac import flac_bytes
+
+    pcm = np.clip(
+        0.5 * sin_samples(2 * np.pi * 440 / 16000, 3200) * 32767, -32768, 32767
+    ).astype(np.int16)
+    fl = flac_bytes(pcm, 16000)
+    assert gate_clip(fl) == ("flac", "ok")
+    assert gate_clip(fl[:10]) == ("flac", "truncated")
+    assert gate_clip(fl[: 4 + 4 + 34]) == ("flac", "truncated")  # metadata only
+    bad = bytearray(fl)
+    bad[4] = (bad[4] & 0x80) | 0x03  # first block not STREAMINFO
+    assert gate_clip(bytes(bad)) == ("flac", "corrupt_stream")
+    sync = bytearray(fl)
+    sync[4 + 4 + 34] = 0x00  # kill the first frame's sync
+    assert gate_clip(bytes(sync)) == ("flac", "corrupt_stream")
+    assert gate_clip(b"fLaC" + bytes([127, 0, 0, 4]) + bytes(4)) == (
+        "flac",
+        "corrupt_stream",
+    )
 
 
 def test_aiff_container_check():
@@ -74,15 +103,6 @@ def test_aiff_container_check():
     assert gate_clip(bytes(bad)) == ("aiff", "corrupt_stream")
     aifc = b"FORM" + (len(body) + 4).to_bytes(4, "big") + b"AIFC" + body
     assert gate_clip(aifc) == ("aiff", "ok")
-
-
-def test_flac_container_check():
-    # STREAMINFO block type 0, 34-byte block
-    hdr = b"fLaC" + bytes([0x00]) + struct.pack(">I", 34)[1:] + bytes(34)
-    assert gate_clip(hdr) == ("flac", "ok")
-    assert gate_clip(hdr[:20]) == ("flac", "truncated")
-    wrong = b"fLaC" + bytes([0x04]) + struct.pack(">I", 34)[1:] + bytes(34)
-    assert gate_clip(wrong) == ("flac", "corrupt_stream")  # first block not STREAMINFO
 
 
 def test_mislabeled_clip_routes_by_magic():
