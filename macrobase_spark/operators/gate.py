@@ -112,13 +112,29 @@ def _check_wav(buf: bytes) -> str:
 
 
 def _check_aiff(buf: bytes) -> str:
-    """Container-level AIFF/AIFC: FORM fourcc + big-endian chunk size vs
-    actual length (the IFF mirror of the RIFF check)."""
+    """AIFF/AIFC structural walk — the big-endian IFF mirror of the RIFF
+    check: FORM size vs actual length, then the chunk chain (odd sizes
+    pad); a playable file needs both a COMM and an SSND chunk."""
     if len(buf) < 12 or buf[8:12] not in (b"AIFF", b"AIFC"):
         return "corrupt_stream"
     declared = int.from_bytes(buf[4:8], "big")
     if declared + 8 > len(buf):
         return "truncated"
+    pos = 12
+    saw_comm = saw_ssnd = False
+    while pos + 8 <= declared + 8:
+        cid = buf[pos : pos + 4]
+        csz = int.from_bytes(buf[pos + 4 : pos + 8], "big")
+        if cid == b"COMM":
+            saw_comm = True
+        elif cid == b"SSND":
+            saw_ssnd = True
+        adv = 8 + csz + (csz & 1)
+        if pos + adv > len(buf):
+            return "truncated"
+        pos += adv
+    if not (saw_comm and saw_ssnd):
+        return "corrupt_stream"
     return "ok"
 
 

@@ -93,14 +93,20 @@ def test_flac_metadata_walk():
     )
 
 
-def test_aiff_container_check():
-    body = b"COMMfill" * 4
+def test_aiff_chunk_walk():
+    def chunk(cid, payload):
+        return cid + len(payload).to_bytes(4, "big") + payload + (b"\x00" if len(payload) & 1 else b"")
+
+    body = chunk(b"COMM", bytes(18)) + chunk(b"SSND", bytes(108 + 1))  # odd size pads
     aiff = b"FORM" + (len(body) + 4).to_bytes(4, "big") + b"AIFF" + body
     assert gate_clip(aiff) == ("aiff", "ok")
     assert gate_clip(aiff[:-10]) == ("aiff", "truncated")
     bad = bytearray(aiff)
     bad[8:12] = b"WAVE"
     assert gate_clip(bytes(bad)) == ("aiff", "corrupt_stream")
+    nossnd = chunk(b"COMM", bytes(18)) + chunk(b"APPL", bytes(109))
+    aiff2 = b"FORM" + (len(nossnd) + 4).to_bytes(4, "big") + b"AIFF" + nossnd
+    assert gate_clip(aiff2) == ("aiff", "corrupt_stream")
     aifc = b"FORM" + (len(body) + 4).to_bytes(4, "big") + b"AIFC" + body
     assert gate_clip(aifc) == ("aiff", "ok")
 
