@@ -147,7 +147,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from macrobase_spark.operators.mp3 import mp3_profiles_parquet
     from macrobase_spark.operators.aac import adts_profiles_parquet
     from macrobase_spark.operators.ogg import ogg_profiles_parquet
-    from macrobase_spark.operators.gate import gate_parquet
+    from macrobase_spark.operators.gate import codec_gate_parquet, gate_parquet
     from macrobase_spark.operators.srt import srt_cues_parquet, vtt_cues_parquet
     from macrobase_spark.operators.alignment import aligned_cues_parquet, silence_spans_parquet
     from macrobase_spark.sources.icetable import ice_table_fixture
@@ -200,6 +200,7 @@ def entry(spark: SparkSession) -> DataFrame:
         adts_profiles_parquet,
         ogg_profiles_parquet,
         gate_parquet,
+        codec_gate_parquet,
         srt_cues_parquet,
         vtt_cues_parquet,
         aligned_cues_parquet,

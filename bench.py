@@ -150,6 +150,7 @@ EXTRA = [
     "vtt_timing_stats",
     "transcript_alignment_stats",
     "cue_silence_stats",
+    "codec_structure_stats",
 ]
 
 

@@ -323,3 +323,50 @@ def transport_gate_pipeline(spark, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("format_detected", "verdict")
     )
+
+
+def codec_gate_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Gate relation over the mixed-CODEC fixture (mulaw/alaw/adpcm/
+    pcm16 WAV + native FLAC with corrupt + truncated plants — the
+    operators/sniff.py fixture): the deep chunk/metadata walks catch the
+    truncated payloads that magic-only sniffing admits ('truncated RIFF
+    keeps its magic'). Materialized once so the oracle replays the
+    rollup over identical rows."""
+    from macrobase_spark.operators.audio import _codec_clips_n
+    from macrobase_spark.sources.clips import generate_codec_clips
+
+    n = _codec_clips_n(sf_dir)
+    path = f"/tmp/mb_codecgate_v1_{n}.parquet"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        transport_gate(generate_codec_clips(spark, n)).write.mode("overwrite").parquet(path)
+    return path
+
+
+_CG = "read_parquet('/tmp/mb_codecgate_v1_400.parquet/*.parquet')"
+
+
+@register(
+    "codec_structure_stats",
+    f"""
+    SELECT codec, format_detected, verdict, label_ok,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {_CG}
+    GROUP BY codec, format_detected, verdict, label_ok
+    ORDER BY codec, format_detected, verdict, label_ok
+    """,
+)
+def codec_structure_stats_q(spark, sf_dir: str) -> DataFrame:
+    """Structural verdicts for the decodable-codec corpus: unlike the
+    magic-only sniff (`codec_magic_check`), the deep RIFF walk surfaces
+    the truncated WAV plants (a cut payload keeps its magic but its
+    chunk chain no longer fits) before any decode cycles. A FLAC blob
+    cut inside the FRAME section still walks clean here — frame-level
+    damage is the decode+CRC check's job (flac_snr_suite), exactly the
+    triage split this gate exists to make cheap. ONE
+    partial+final hash aggregate over the materialized gate relation."""
+    g = spark.read.parquet(codec_gate_parquet(spark, sf_dir))
+    return (
+        g.groupBy("codec", "format_detected", "verdict", "label_ok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("codec", "format_detected", "verdict", "label_ok")
+    )

@@ -156,6 +156,19 @@ def test_gate_stream_matches_batch(spark, tmp_path):
     assert got == batch and len(got) == 90
 
 
+def test_codec_structure_query_matches_oracle(spark):
+    """The deep walks over the decodable-codec fixture: truncated WAV
+    plants are caught structurally (magic-only sniffing admits them);
+    garbage payloads land in unknown/no_sync; every intact payload reads
+    ok with label agreement."""
+    got = [tuple(r) for r in QUERIES["codec_structure_stats"](spark, SF).collect()]
+    want = [tuple(r) for r in duckdb.sql(ORACLES["codec_structure_stats"]).fetchall()]
+    assert got == want
+    trunc = [r for r in got if r[2] == "truncated"]
+    assert trunc and all(r[1] == "wav" for r in trunc)
+    assert any(r[1] == "unknown" and not r[3] for r in got)  # garbage plants
+
+
 def test_registered_query_matches_oracle(spark):
     got = [tuple(r) for r in QUERIES["transport_gate_stats"](spark, SF).collect()]
     want = [tuple(r) for r in duckdb.sql(ORACLES["transport_gate_stats"]).fetchall()]
