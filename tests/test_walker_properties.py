@@ -53,6 +53,20 @@ def test_adts_walk_recovers_any_valid_stream(n, sr, ch, plen, crc, rdb):
     assert nc == (n if crc else 0)
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_gate_total_on_arbitrary_bytes(buf):
+    """gate_clip (and the wav/aiff/flac chunk walkers inside it) never
+    raises and always returns a known (format, verdict) pair; seeded
+    magic prefixes steer the fuzz into each deep walker."""
+    from macrobase_spark.operators.gate import gate_clip
+
+    verdicts = {"ok", "truncated", "corrupt_stream", "no_sync", "no_payload", "no_opus_head"}
+    for prefix in (b"", b"RIFF", b"FORM", b"fLaC", b"OggS", b"ID3", b"\xff\xfb", b"\xff\xf1"):
+        fmt, v = gate_clip(prefix + buf)
+        assert v in verdicts and isinstance(fmt, str)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=300))
 def test_transcript_parsers_total_on_arbitrary_text(doc):
