@@ -109,3 +109,35 @@ def test_registered_query_matches_oracle(spark):
     verds = {g["verdict"]: g for g in got}
     assert verds["ok"]["max_ok_dur_err_ms"] <= 0.5  # walk is sample-accurate
     assert verds["ok"]["n_vbr"] > 0
+
+
+def test_profiles_stream_matches_batch(spark, tmp_path):
+    """The profile scan is a stateless mapInPandas, so it runs UNCHANGED
+    on a streaming DataFrame (the gate/scorecard contract): stream
+    output must equal the batch relation row-for-row."""
+    src = str(tmp_path / "mp3_src")
+    generate_mp3_clips(spark, 80).write.mode("overwrite").parquet(src)
+    batch = {
+        r["clip_id"]: tuple(r)
+        for r in mp3_profiles(spark.read.parquet(src)).collect()
+    }
+    stream = spark.readStream.schema(
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    ).parquet(src)
+    q = (
+        mp3_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("mp3_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["clip_id"]: tuple(r)
+            for r in spark.sql("select * from mp3_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch and len(got) == 80
