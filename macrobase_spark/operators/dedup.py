@@ -128,13 +128,27 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 6,
     bands: int = 2,
+    max_bucket: int | None = 10000,
+    cache: str = "local",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash signature.
 
-    Per-row work is pure expressions; the only shuffle is the group-by on
-    (band, key). Buckets are exploded into pairs inside the aggregation —
-    bucket sizes are bounded in practice; a runaway bucket means the band
-    width is too narrow for the corpus and should be raised."""
+    Per-row work is pure expressions; the only shuffle is on the (band, key)
+    bucket key. Pairs come from a bucket-key SELF-JOIN (like
+    `simhash_candidates`), NOT a per-bucket `collect_list` — a collect_list
+    materializes each bucket as one array on one reducer, so a single
+    degenerate bucket (mass-duplicated boilerplate, which is *common* in web
+    crawl: every member hashes to the same band key) OOMs one task at corpus
+    scale. The join spreads a size-s bucket's s·(s−1)/2 output rows across
+    the shuffle instead of one array.
+
+    Scale guard: buckets larger than `max_bucket` are EXCLUDED from the pair
+    join and logged — every member pair inside such a bucket is a near-dup
+    of every other, so the quadratic pair list adds no information beyond
+    the bucket id; recover them group-wise from the bucket key if needed.
+    Pass max_bucket=None for the exact (unguarded) semantics the oracle
+    replays. `cache` follows simhash_candidates' vocabulary ("local" /
+    "persist" / "checkpoint") for the reused bands relation."""
     rows_per_band = num_hashes // bands
     sh = with_shingles(df.select(id_col, text_col), text_col, n)
     sig = sh.select(F.col(id_col).alias("doc"), *minhash_signature("shingles", num_hashes))
@@ -148,19 +162,29 @@ def minhash_lsh_candidates(
         for bi in range(bands)
     ]
     exploded = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk"))
-    buckets = exploded.groupBy("bk").agg(F.collect_list("doc").alias("docs")).filter(
-        F.size("docs") > 1
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(array_sort(docs), (x, i) -> "
-                "transform(slice(array_sort(docs), i + 2, size(docs)), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
+    if max_bucket is not None:
+        # consumed twice (bucket counts, pair join) — materialize so the
+        # shingle-explode + signature lineage runs once
+        from macrobase_spark.operators.checks import _materialize
+
+        exploded = _materialize(exploded, cache)
+        counts = exploded.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
+        n_dropped = counts.filter(F.col("_n") > max_bucket).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_candidates: dropped %d bucket(s) larger than %d "
+                "docs (pairs within them are not emitted)", n_dropped, max_bucket
             )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+        keep = counts.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select("bk")
+        exploded = exploded.join(keep, "bk")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    return pairs.distinct()
 
 
 def simhash_signature(

@@ -211,7 +211,11 @@ def gate_clip(buf: bytes | None) -> tuple[str, str]:
     r = walk_ogg(buf)
     n_pages, crc_bad, gaps, _bos, _eos, ch, _skip, _dur, tr, _junk = r
     v = (
-        "no_sync" if n_pages == 0
+        # same vocabulary as ogg.py's _VERDICT_SQL: a pageless Ogg payload
+        # is 'no_capture' (no "OggS" capture pattern), NOT the mp3/ADTS
+        # walkers' 'no_sync' — keeping the labels identical lets gate
+        # rollups be cross-referenced with opus_integrity_stats directly
+        "no_capture" if n_pages == 0
         else "truncated" if tr
         else "corrupt_stream" if (crc_bad or gaps)
         else "no_opus_head" if ch == 0
@@ -278,13 +282,13 @@ def gate_parquet(spark: SparkSession, sf_dir: str) -> str:
     from macrobase_spark.operators.audio import _codec_clips_n
 
     n = _codec_clips_n(sf_dir)
-    path = f"/tmp/mb_gate_v1_{n}.parquet"
+    path = f"/tmp/mb_gate_v2_{n}.parquet"
     if not os.path.isfile(f"{path}/_SUCCESS"):
         transport_gate(generate_mixed_clips(spark, n)).write.mode("overwrite").parquet(path)
     return path
 
 
-_GP = "read_parquet('/tmp/mb_gate_v1_400.parquet/*.parquet')"
+_GP = "read_parquet('/tmp/mb_gate_v2_400.parquet/*.parquet')"
 
 
 @register(

@@ -176,7 +176,10 @@ def parse_vtt(text: str | None) -> list[tuple[int, int | None, int | None, int, 
     cues = []
     pos = 0
     for block in blocks[1:]:
-        lines = [ln for ln in block.split("\n") if ln != ""]
+        # drop whitespace-only lines too: a line of just " " would survive
+        # an `!= ""` filter and make the first-token split below index an
+        # empty list (IndexError inside mapInPandas = dead Spark task)
+        lines = [ln for ln in block.split("\n") if ln.strip()]
         # comment/style blocks: FIRST TOKEN is NOTE/STYLE/REGION (a cue
         # identifier may legally merely START with those letters, e.g.
         # "NOTES" — prefix matching would silently swallow that cue)

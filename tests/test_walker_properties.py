@@ -61,7 +61,12 @@ def test_gate_total_on_arbitrary_bytes(buf):
     magic prefixes steer the fuzz into each deep walker."""
     from macrobase_spark.operators.gate import gate_clip
 
-    verdicts = {"ok", "truncated", "corrupt_stream", "no_sync", "no_payload", "no_opus_head"}
+    # "no_capture" is the Ogg branch's pageless verdict (same vocabulary
+    # as ogg.py's _VERDICT_SQL); "no_sync" is the mp3/ADTS equivalent
+    verdicts = {
+        "ok", "truncated", "corrupt_stream", "no_sync", "no_capture",
+        "no_payload", "no_opus_head",
+    }
     for prefix in (b"", b"RIFF", b"FORM", b"fLaC", b"OggS", b"ID3", b"\xff\xfb", b"\xff\xf1"):
         fmt, v = gate_clip(prefix + buf)
         assert v in verdicts and isinstance(fmt, str)
@@ -73,6 +78,26 @@ def test_transcript_parsers_total_on_arbitrary_text(doc):
     from macrobase_spark.operators.srt import parse_srt, parse_vtt
 
     for cues in (parse_srt(doc), parse_vtt(doc)):
+        for pos, start, end, nch, bad in cues:
+            assert pos >= 0 and nch >= 0
+            assert bad or (start is not None and end is not None)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_vtt_parser_total_past_the_header(doc):
+    """Plain st.text() essentially never starts with 'WEBVTT', so the
+    fuzz above only exercises the not-a-VTT early return. Prefixing the
+    header drives arbitrary text through the block tokenizer — the path
+    where a whitespace-only first line used to IndexError (the cue-vs-
+    NOTE first-token split on an empty token list)."""
+    from macrobase_spark.operators.srt import parse_vtt
+
+    for cues in (
+        parse_vtt("WEBVTT\n\n" + doc),
+        # the historical crash shape: whitespace-only line opening a block
+        parse_vtt("WEBVTT\n\n \n" + doc),
+    ):
         for pos, start, end, nch, bad in cues:
             assert pos >= 0 and nch >= 0
             assert bad or (start is not None and end is not None)
