@@ -41,7 +41,7 @@ from macrobase_spark.operators.detectors import (
     fit_isolation_forest,
     iforest_scores,
 )
-from macrobase_spark.operators.hics import welch_t_deviation
+from macrobase_spark.operators.hics import _t_cdf, welch_t_deviation
 
 
 def _fit_models(sample, subspaces, col_idx, n_trees, seed):
@@ -193,27 +193,62 @@ def lookout_explain(
     return spark.createDataFrame(rows, schema)
 
 
-def _refine(pool_feats: list[list[str]], z: np.ndarray, feature_cols, d2, beam_size):
-    """Per-POI RefOut refinement: the d2-dim feature set whose containment
-    best splits this POI's pool scores (Welch deviation), via the
-    reference's 1-dim → d2 beam (RefOut.java:150-230)."""
+class _WelchQualityTable:
+    """Lazy ALL-POIs-at-once Welch quality columns, one per candidate
+    feature set. The containment split of the pool is POI-independent, so
+    for a candidate set the (n_pois,) quality vector is ONE vectorized
+    moment pass over the score matrix instead of n_pois list-comprehension
+    + scalar-welch rounds — this is what batches RefOut's refine stage
+    (the r4 verdict's per-model-loop finding). Lazy: only candidate sets
+    some POI's beam actually evaluates are ever computed, which keeps
+    memory bounded for high-dim feature spaces."""
 
-    def quality(feats: set) -> float:
-        right = np.array(
-            [z[k] for k, pf in enumerate(pool_feats) if feats.issubset(pf)]
-        )
-        left = np.array(
-            [z[k] for k, pf in enumerate(pool_feats) if not feats.issubset(pf)]
-        )
-        if len(right) <= 2 or len(left) <= 2:
-            return -1.0
-        d = welch_t_deviation(left, right)
-        return -1.0 if np.isnan(d) else d
+    def __init__(self, pool_feats: list[list[str]], S: np.ndarray):
+        self._pool_sets = [set(pf) for pf in pool_feats]
+        self._S = S
+        self._cols: dict[frozenset, np.ndarray] = {}
 
+    def col(self, feats: frozenset) -> np.ndarray:
+        got = self._cols.get(feats)
+        if got is not None:
+            return got
+        mask = np.array([feats.issubset(pf) for pf in self._pool_sets], dtype=bool)
+        n2 = int(mask.sum())
+        n1 = len(self._pool_sets) - n2
+        n_pois = self._S.shape[0]
+        if n2 <= 2 or n1 <= 2:
+            out = np.full(n_pois, -1.0)
+        else:
+            # identical arithmetic to welch_t_deviation(left, right),
+            # vectorized over POI rows (row slices are the same values in
+            # the same order the scalar path saw, so results are
+            # bit-identical and the beam trajectory cannot drift)
+            L, R = self._S[:, ~mask], self._S[:, mask]
+            m1, m2 = L.mean(axis=1), R.mean(axis=1)
+            r1, r2 = L.var(axis=1, ddof=1) / n1, R.var(axis=1, ddof=1) / n2
+            denom = np.sqrt(r1 + r2)
+            div = r1 * r1 / (n1 - 1) + r2 * r2 / (n2 - 1)
+            out = np.full(n_pois, -1.0)
+            valid = np.nonzero((denom > 0.0) & (div > 0.0))[0]
+            for i in valid:
+                t = (float(m1[i]) - float(m2[i])) / float(denom[i])
+                v = int((float(r1[i]) + float(r2[i])) ** 2 / float(div[i]))
+                d = 1.0 - 2.0 * (1.0 - _t_cdf(abs(t), v))
+                if not np.isnan(d):
+                    out[i] = d
+        self._cols[feats] = out
+        return out
+
+
+def _refine_beam(q, feature_cols, d2, beam_size):
+    """The reference's 1-dim → d2 beam (RefOut.java:150-230) over a
+    quality lookup `q(frozenset) -> float`. Sort/t tie order matches the
+    original per-POI formulation exactly (stable sorts, same enumeration
+    order)."""
     cands = sorted(
-        (({f}, quality({f})) for f in feature_cols), key=lambda t: t[1], reverse=True
+        (({f}, q(frozenset((f,)))) for f in feature_cols),
+        key=lambda t: t[1], reverse=True,
     )[:beam_size]
-    pool_sets = [set(pf) for pf in pool_feats]
     for stage in range(2, d2 + 1):
         feats = [c for c, _ in cands]
         merged: dict[frozenset, float] = {}
@@ -224,18 +259,40 @@ def _refine(pool_feats: list[list[str]], z: np.ndarray, feature_cols, d2, beam_s
             if len(u) > stage:
                 best = max(
                     (frozenset(c) for c in combinations(sorted(u), stage)),
-                    key=lambda c: quality(set(c)),
+                    key=q,
                 )
                 u = set(best)
             fu = frozenset(u)
             if fu not in merged:
-                merged[fu] = quality(set(fu))
+                merged[fu] = q(fu)
         cands = sorted(
             ((set(k), v) for k, v in merged.items()), key=lambda t: t[1], reverse=True
         )[:beam_size]
         if not cands:
             return None
     return tuple(sorted(cands[0][0])) if cands else None
+
+
+def _refine_batch(
+    pool_feats: list[list[str]], S: np.ndarray, feature_cols, d2, beam_size
+) -> list[tuple | None]:
+    """Batched RefOut refinement for ALL POIs: quality columns are computed
+    vectorized across POIs (lazily, per candidate set); each POI's beam is
+    then pure lookups."""
+    table = _WelchQualityTable(pool_feats, S)
+    out = []
+    for i in range(S.shape[0]):
+        out.append(
+            _refine_beam(lambda fs: float(table.col(fs)[i]), feature_cols, d2, beam_size)
+        )
+    return out
+
+
+def _refine(pool_feats: list[list[str]], z: np.ndarray, feature_cols, d2, beam_size):
+    """Single-POI RefOut refinement: the d2-dim feature set whose
+    containment best splits this POI's pool scores (Welch deviation).
+    Thin wrapper over the batched machinery."""
+    return _refine_batch(pool_feats, np.asarray(z)[None, :], feature_cols, d2, beam_size)[0]
 
 
 def _refout_search(
@@ -273,11 +330,9 @@ def _refout_search(
         ]
     )
     pool_feats = [list(sub) for sub, _ in models]
-    refined: set[tuple] = set()
-    for i in range(len(ids)):
-        r = _refine(pool_feats, S[i], feature_cols, d2, beam_size)
-        if r:
-            refined.add(r)
+    refined: set[tuple] = set(
+        r for r in _refine_batch(pool_feats, S, feature_cols, d2, beam_size) if r
+    )
     if not refined:
         return ids, X, col_idx, [], []
     ref_models = _fit_models(sample, sorted(refined), col_idx, n_trees, seed)
