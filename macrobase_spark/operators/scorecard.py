@@ -46,6 +46,13 @@ SCORECARD_SCHEMA = StructType(
     [
         StructField("clip_id", StringType()),
         StructField("decode_ok", BooleanType()),
+        # 'ok' | 'failed' | 'skipped_compressed' — a clip whose transport is
+        # a lossy compressed stream this engine deliberately does not decode
+        # (mp3/ADTS/Ogg; documented scope boundary, audio.py:242) must NOT
+        # be folded into decode-failure stats: it is undecodable BY SCOPE,
+        # not corrupt. The structural transport walkers (mp3.py/aac.py/
+        # ogg.py) own integrity for those clips.
+        StructField("decode_status", StringType()),
         StructField("sr_hz", IntegerType()),
         StructField("rms_dbfs", DoubleType()),
         StructField("clip_ratio", DoubleType()),
@@ -58,13 +65,39 @@ SCORECARD_SCHEMA = StructType(
 )
 
 
+def _is_compressed_transport(raw: np.ndarray) -> bool:
+    """Magic-based check for the lossy transports this engine's scope
+    deliberately does not PCM-decode: mp3 (raw sync or ID3-fronted), ADTS
+    AAC, and Ogg. Same byte tests as gate.detect_format, inlined over the
+    uint8 view so the fused scan stays copy-free."""
+    if len(raw) < 4:
+        return False
+    b0, b1 = int(raw[0]), int(raw[1])
+    if raw[:4].tobytes() == b"OggS":
+        return True
+    if raw[:3].tobytes() == b"ID3":
+        return True  # ID3v2 fronts mp3/ADTS streams
+    if b0 == 0xFF and (b1 & 0xF0) == 0xF0 and ((b1 >> 1) & 0x3) == 0:
+        return True  # ADTS sync (layer 00)
+    if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
+        return True  # mp3 sync
+    return False
+
+
 def scorecard_features(df: DataFrame) -> DataFrame:
-    """All audio QA features from ONE decode per clip (one scan of bytes)."""
+    """All audio QA features from ONE decode per clip (one scan of bytes).
+
+    Decode scope: RIFF/WAVE (PCM16 + G.711/ADPCM tags) and native FLAC.
+    Compressed lossy transports (mp3/ADTS/Ogg) are reported as
+    decode_status='skipped_compressed' — distinguished from 'failed'
+    (corrupt/unknown payload) so corpus pass-rates never silently fold
+    scope limits into failure stats."""
     from macrobase_spark.operators.audio import (
         _binary_views,
         _decode_wav_view,
         _run_lengths,
     )
+    from macrobase_spark.operators.flac import decode_flac as _decode_flac
     from macrobase_spark.operators.bandwidth import spectral_profile
     from macrobase_spark.operators.pitch import pitch_profile
 
@@ -76,6 +109,7 @@ def scorecard_features(df: DataFrame) -> DataFrame:
             col = {name: b.column(i) for i, name in enumerate(b.schema.names)}
             offsets, data = _binary_views(col["bytes"])
             ok = np.zeros(n, dtype=bool)
+            status = np.full(n, "failed", dtype=object)
             srs = np.zeros(n, dtype=np.int32)
             out = {
                 k: np.full(n, np.nan)
@@ -90,13 +124,20 @@ def scorecard_features(df: DataFrame) -> DataFrame:
                 )
             }
             for i in range(n):
-                dec = _decode_wav_view(data[offsets[i] : offsets[i + 1]])
+                raw = data[offsets[i] : offsets[i + 1]]
+                if _is_compressed_transport(raw):
+                    status[i] = "skipped_compressed"
+                    continue
+                dec = _decode_wav_view(raw)
+                if dec is None and len(raw) >= 4 and raw[:4].tobytes() == b"fLaC":
+                    dec = _decode_flac(raw.tobytes())  # float64 in [-1, 1)
                 if dec is None:
                     continue
                 sr, pcm = dec
                 if len(pcm) == 0:
                     continue
                 ok[i] = True
+                status[i] = "ok"
                 srs[i] = sr
                 rms = float(np.sqrt(np.mean(pcm * pcm)))
                 out["rms_dbfs"][i] = round(
@@ -124,10 +165,11 @@ def scorecard_features(df: DataFrame) -> DataFrame:
                 [
                     col["clip_id"],
                     pa.array(ok),
+                    pa.array(list(status), type=pa.string()),
                     pa.array(srs, type=pa.int32()),
                     *[
                         pa.array(out[f.name], mask=np.isnan(out[f.name]))
-                        for f in SCORECARD_SCHEMA.fields[3:]
+                        for f in SCORECARD_SCHEMA.fields[4:]
                     ],
                 ],
                 names=[f.name for f in SCORECARD_SCHEMA.fields],
@@ -138,7 +180,7 @@ def scorecard_features(df: DataFrame) -> DataFrame:
 
 # shared flag layer — identical text in the oracle
 _FLAGS = {
-    "flag_undecodable": "NOT decode_ok",
+    "flag_undecodable": "decode_status = 'failed'",
     # every condition is coalesce(..., FALSE): a decodable clip too short
     # for an analysis frame has NULL spectral/voicing features, and
     # three-valued logic would otherwise make its flags AND qa_pass NULL —
@@ -194,10 +236,36 @@ def generate_qa_clips(spark, n: int) -> DataFrame:
         return np.tile(per, length // period + 1)[:length]
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from macrobase_spark.operators.mp3 import mp3_frame
+
         for pdf in batches:
             rows = []
             for s in pdf["id"]:
                 i = int(s)
+                if i % 41 == 13:
+                    # corrupt payload: no known magic, no sync anywhere —
+                    # must land in decode_status='failed'
+                    junk = (
+                        np.clip(
+                            (u01(np.arange(200, dtype=np.uint64), salt=911 + i) * 200),
+                            0,
+                            200,
+                        )
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                    rows.append((f"qclip_{i:09d}", b"\x00\x01" + junk))
+                    continue
+                if i % 37 == 12:
+                    # structurally-valid mp3 frame stream: out of decode
+                    # scope → decode_status='skipped_compressed', never
+                    # counted as a decode FAILURE
+                    buf = b"".join(
+                        mp3_frame(7, i % 3, (i + k) % 2, seed=i * 31 + k)
+                        for k in range(4)
+                    )
+                    rows.append((f"qclip_{i:09d}", buf))
+                    continue
                 if i % 31 == 8:
                     sig = np.zeros(ns)
                 elif i % 13 == 2:
@@ -242,7 +310,7 @@ def _qa_n(sf_dir: str) -> int:
 
 def scorecard_parquet(spark, sf_dir: str) -> str:
     n = _qa_n(sf_dir)
-    path = f"/tmp/mb_scorecard_v1_{n}.parquet"
+    path = f"/tmp/mb_scorecard_v2_{n}.parquet"
     if not os.path.isfile(f"{path}/_SUCCESS"):
         scorecard_features(generate_qa_clips(spark, n)).write.mode(
             "overwrite"
@@ -250,7 +318,7 @@ def scorecard_parquet(spark, sf_dir: str) -> str:
     return path
 
 
-_SC = "read_parquet('/tmp/mb_scorecard_v1_1000.parquet/*.parquet')"
+_SC = "read_parquet('/tmp/mb_scorecard_v2_1000.parquet/*.parquet')"
 _FLAG_SQL = ",\n           ".join(
     f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
     for name, cond in _FLAGS.items()
@@ -262,6 +330,8 @@ _FLAG_SQL = ",\n           ".join(
     f"""
     SELECT CAST(count(*) AS BIGINT) AS n,
            {_FLAG_SQL},
+           CAST(sum(CASE WHEN decode_status = 'skipped_compressed'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_compressed,
            CAST(sum(CASE WHEN {_PASS} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
            round(avg(CASE WHEN decode_ok THEN rms_dbfs END), 2) AS avg_rms_dbfs
     FROM {_SC}
@@ -270,13 +340,21 @@ _FLAG_SQL = ",\n           ".join(
 def clips_qa_scorecard(spark, sf_dir: str) -> DataFrame:
     """One-row corpus scorecard: every flag count + the overall pass count
     off the fused single-scan feature relation, replayed verbatim by the
-    oracle."""
+    oracle. `n_skipped_compressed` reports out-of-decode-scope clips
+    SEPARATELY from flag_undecodable (decode failures): a corpus whose mp3
+    clips were never decodable-by-scope must not read as a decode-failure
+    spike."""
     feats = spark.read.parquet(scorecard_parquet(spark, sf_dir))
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for name, cond in _FLAGS.items():
         aggs.append(
             F.sum(F.when(F.expr(cond), 1).otherwise(0)).cast("long").alias(name)
         )
+    aggs.append(
+        F.sum(F.when(F.col("decode_status") == "skipped_compressed", 1).otherwise(0))
+        .cast("long")
+        .alias("n_skipped_compressed")
+    )
     aggs.append(
         F.sum(F.when(F.expr(_PASS), 1).otherwise(0)).cast("long").alias("n_pass")
     )

@@ -15,6 +15,10 @@ SF = "/root/testdata/sf0.01"
 
 
 def _expected_defect(i: int) -> str:
+    if i % 41 == 13:
+        return "flag_undecodable"  # corrupt payload → decode_status='failed'
+    if i % 37 == 12:
+        return "skipped_compressed"  # mp3 stream: out of decode scope
     if i % 31 == 8:
         return "flag_silent"
     if i % 13 == 2:
@@ -41,9 +45,18 @@ def test_planted_defects_fire_their_flags(spark):
         want = _expected_defect(i)
         if want == "clean":
             assert r["qa_pass"], (i, r)
+            assert r["decode_status"] == "ok", (i, r)
+        elif want == "skipped_compressed":
+            # out-of-scope codec: reported as skipped, NOT as a decode
+            # failure, and excluded from qa_pass
+            assert r["decode_status"] == "skipped_compressed", (i, r)
+            assert not r["flag_undecodable"], (i, r)
+            assert not r["qa_pass"], (i, r)
         else:
             assert r[want], (i, want, r)
             assert not r["qa_pass"], (i, r)
+            if want == "flag_undecodable":
+                assert r["decode_status"] == "failed", (i, r)
 
 
 def test_one_decode_per_clip_schema(spark):
