@@ -369,8 +369,14 @@ class MacroBaseSQL:
 
     # minimal predicate grammar: comparisons, AND/OR/NOT, parens, literals
     def _predicate(self, text: str):
+        """WHERE-clause predicates. Beyond comparisons/AND/OR/NOT, the
+        reference's grammar also admits `NOT? BETWEEN lo AND hi`,
+        `NOT? IN (expr, ...)`, `NOT? LIKE pattern` and `IS NOT? NULL`
+        (SqlBase.g4:231-238) — lexed there but never executed by
+        QueryEngine.getMask (QueryEngine.java:436+); here they lower to
+        the native Column operations Catalyst already optimizes."""
         tokens = re.findall(
-            rf"(?is)`[^`]+`|{_NUM}|'[^']*'|\(|\)|<>|!=|<=|>=|=|<|>|\bAND\b|\bOR\b|\bNOT\b|\w+",
+            rf"(?is)`[^`]+`|{_NUM}|'[^']*'|\(|\)|,|<>|!=|<=|>=|=|<|>|\bAND\b|\bOR\b|\bNOT\b|\w+",
             text,
         )
         pos = 0
@@ -397,18 +403,50 @@ class MacroBaseSQL:
                 return ~atom()
             left = operand(take())
             op = take()
-            right = operand(take())
-            ops = {
-                "=": lambda a, b: a == b,
-                "==": lambda a, b: a == b,
-                "!=": lambda a, b: a != b,
-                "<>": lambda a, b: a != b,
-                "<": lambda a, b: a < b,
-                ">": lambda a, b: a > b,
-                "<=": lambda a, b: a <= b,
-                ">=": lambda a, b: a >= b,
-            }
-            return ops[op](left, right)
+            negate = False
+            if op is not None and op.upper() == "NOT":
+                negate = True
+                op = take()
+            opu = op.upper() if op is not None else ""
+            if opu == "BETWEEN":
+                lo = operand(take())
+                assert take().upper() == "AND"
+                hi = operand(take())
+                cond = (left >= lo) & (left <= hi)
+            elif opu == "IN":
+                assert take() == "("
+                items = [operand(take())]
+                while peek() == ",":
+                    take()
+                    items.append(operand(take()))
+                assert take() == ")"
+                cond = left == items[0]
+                for it in items[1:]:  # OR of equalities: works for lit AND col members
+                    cond = cond | (left == it)
+            elif opu == "LIKE":
+                pat = take()
+                assert pat.startswith("'"), "LIKE pattern must be a string literal"
+                cond = left.like(pat[1:-1])
+            elif opu == "IS":
+                nxt = take()
+                if nxt is not None and nxt.upper() == "NOT":
+                    negate = not negate
+                    nxt = take()
+                assert nxt is not None and nxt.upper() == "NULL"
+                cond = left.isNull()
+            else:
+                ops = {
+                    "=": lambda a, b: a == b,
+                    "==": lambda a, b: a == b,
+                    "!=": lambda a, b: a != b,
+                    "<>": lambda a, b: a != b,
+                    "<": lambda a, b: a < b,
+                    ">": lambda a, b: a > b,
+                    "<=": lambda a, b: a <= b,
+                    ">=": lambda a, b: a >= b,
+                }
+                cond = ops[op](left, operand(take()))
+            return ~cond if negate else cond
 
         def operand(t: str):
             if re.fullmatch(_NUM, t):
