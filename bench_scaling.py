@@ -201,7 +201,11 @@ def main() -> int:
         spark.stop()
 
     levels = [int(c) for c in args.cores.split(",")]
+    # levels run in the order GIVEN (so --cores 32,8,2 measures in reverse
+    # chronological order — a control for host-state drift correlating
+    # with level order); pairing below always sorts ascending
     results = [run_child(c, args.n, table, args.scan) for c in levels]
+    results.sort(key=lambda r: r["cores"])
     lo, hi = results[0], results[-1]
     factor = hi["cores"] / lo["cores"]
     eff = hi["clips_per_sec"] / (factor * lo["clips_per_sec"])
