@@ -150,3 +150,44 @@ def test_ogg_walk_recovers_any_valid_stream(n, serial, npkt, plen):
     ]
     r = walk_ogg(b"".join(pages))
     assert r[0] == n and r[1] == 0 and r[2] == 0 and r[9] == 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=500))
+def test_flac_decode_total_on_arbitrary_bytes(buf):
+    """decode_flac must be total on arbitrary bytes (the QA scorecard now
+    routes any fLaC-magic payload into it inside mapInArrow, where an
+    uncaught exception kills the Spark task): None or a valid decode,
+    never a raise."""
+    from macrobase_spark.operators.flac import decode_flac
+
+    for prefix in (b"", b"fLaC"):
+        r = decode_flac(prefix + buf)
+        assert r is None or (isinstance(r[0], int) and r[0] > 0)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    n=st.integers(min_value=64, max_value=1200),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    flip=st.integers(min_value=1, max_value=255),
+    use_lpc=st.booleans(),
+)
+def test_flac_decode_total_under_byte_mutation(n, sr, pos_frac, flip, use_lpc):
+    """Single-byte corruption anywhere in a VALID stream — the realistic
+    bitrot shape — must yield None (CRC/MD5 catch it) or a clean decode
+    (flip in dead padding), never an exception."""
+    import numpy as np
+
+    from macrobase_spark.operators.flac import decode_flac, flac_bytes
+
+    pcm = (
+        (3000 * np.sin(np.arange(n) * 0.05) + 500 * np.sin(np.arange(n) * 0.21))
+        .astype(np.int16)
+    )
+    good = bytearray(flac_bytes(pcm, sr, use_lpc=use_lpc))
+    pos = int(pos_frac * len(good))
+    good[pos] ^= flip
+    r = decode_flac(bytes(good))
+    assert r is None or (isinstance(r[0], int) and r[0] > 0)
