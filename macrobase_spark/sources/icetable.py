@@ -346,7 +346,16 @@ def ice_table_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     snap1_mirror = f"/tmp/mb_ice_snap1_v1_{n}.parquet"
     full_mirror = f"/tmp/mb_ice_full_v1_{n}.parquet"
     done = os.path.join(root, "_FIXTURE_DONE")
-    if not os.path.isfile(done):
+    # the guard must cover EVERY output this fixture owns, not just the
+    # manifest root: a partial /tmp cleanup that removes a mirror but not
+    # the root would otherwise leave the oracles reading a missing file
+    # forever (the done-marker said "complete")
+    complete = (
+        os.path.isfile(done)
+        and os.path.isfile(os.path.join(snap1_mirror, "_SUCCESS"))
+        and os.path.isfile(os.path.join(full_mirror, "_SUCCESS"))
+    )
+    if not complete:
         cut = f"clip_{(n * 5 // 8):012d}"
         clips = generate_clips(spark, n, max_payload_ms=50)
         first = clips.filter(F.col("clip_id") < cut)
